@@ -1,0 +1,225 @@
+"""Entity linking + surface-form canonicalization.
+
+New functionality vs the reference (SURVEY.md §7 M4; reference's closest
+analogs are the coref similarity scoring in cross_text_binary_coref.py and
+the merge+dedup in utils/document.py:76-144):
+
+  1. normalize surface forms (JVM-side string expressions),
+  2. entity linking against a broadcast alias dictionary (equi-join),
+  3. MinHash-LSH blocking over char-shingles of the normalized surface
+     (portable salted-md5 min-hashing, functions/hashing.py) -> candidate
+     equivalence edges within LSH buckets,
+  4. verify edges by exact Jaccard on shingle sets (array_intersect),
+  5. connected components via iterative DataFrame min-label propagation
+     (hash-to-min style; localCheckpoint per round to cut lineage),
+  6. canonical entity_id = lexicographic min normalized form per component.
+
+Scale notes: every step is a shuffle on a bounded key (band key / node id);
+bucket sizes are capped (`max_bucket`) so a degenerate band (stopword-ish
+surface) cannot produce a quadratic pair explosion — dropped buckets are
+observable via lineage counts, not silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_surface(col):
+    """lowercase, strip non-alphanumerics, collapse whitespace — JVM-side."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def char_shingles_col(col, k: int = 3):
+    """Distinct k-char shingles as an array column (whole-stage codegen,
+    no UDF): substring windows over 1..len-k+1."""
+    return F.array_distinct(
+        F.when(F.length(col) < k, F.array(col)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - (k - 1)),
+                lambda i: col.substr(i, F.lit(k)),
+            )
+        )
+    )
+
+
+def minhash_signature_cols(shingle_col, num_hashes: int = 16):
+    """One lexicographic-min salted md5 per seed (portable MinHash family —
+    same values computable in DuckDB, see functions/hashing.py)."""
+    return [
+        F.array_min(
+            F.transform(shingle_col, lambda x, s=seed: F.md5(F.concat(F.lit(f"{s}|"), x)))
+        ).alias(f"mh{seed}")
+        for seed in range(num_hashes)
+    ]
+
+
+def link_entities(
+    mentions: DataFrame, alias_dict: DataFrame, alias_col: str = "alias",
+    entity_col: str = "entity_id"
+) -> DataFrame:
+    """Dictionary entity linking: normalized-surface equi-join against a small
+    alias table — broadcast by hint (the dictionary is the 'small dim')."""
+    aliases = alias_dict.select(
+        normalize_surface(F.col(alias_col)).alias("_norm"),
+        F.col(entity_col).alias("linked_entity_id"),
+    ).dropDuplicates(["_norm"])
+    m = mentions.withColumn("_norm", normalize_surface(F.col("surface")))
+    return m.join(F.broadcast(aliases), "_norm", "left").drop("_norm")
+
+
+def lsh_candidate_edges(
+    surfaces: DataFrame,
+    surface_col: str = "surface_norm",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """surfaces: distinct rows with `surface_col`. Returns verified candidate
+    edges (src, dst, jaccard) with src < dst."""
+    base = (
+        surfaces.select(F.col(surface_col).alias("node"))
+        .where(F.length("node") > 0)
+        .dropDuplicates(["node"])
+        .withColumn("shingles", char_shingles_col(F.col("node"), shingle_k))
+    )
+    sig = base.select("node", "shingles", *minhash_signature_cols(F.col("shingles"), num_hashes))
+    bands = []
+    for b in range(0, num_hashes, band_size):
+        cols = [F.col(f"mh{i}") for i in range(b, min(b + band_size, num_hashes))]
+        bands.append(
+            F.concat_ws("|", F.lit(str(b)), *cols).alias(f"band{b // band_size}")
+        )
+    with_bands = sig.select("node", "shingles", *bands)
+    n_bands = len(bands)
+    stacked = with_bands.select(
+        "node",
+        "shingles",
+        F.explode(
+            F.array(*[F.col(f"band{i}") for i in range(n_bands)])
+        ).alias("band_key"),
+    )
+    # cap pathological buckets to avoid quadratic blowup on degenerate keys
+    bucket_sizes = stacked.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bsz"))
+    stacked = stacked.join(
+        bucket_sizes.where(F.col("_bsz") <= max_bucket), "band_key"
+    )
+    a = stacked.select(
+        "band_key", F.col("node").alias("src"), F.col("shingles").alias("src_sh")
+    )
+    b_ = stacked.select(
+        "band_key", F.col("node").alias("dst"), F.col("shingles").alias("dst_sh")
+    )
+    pairs = (
+        a.join(b_, "band_key")
+        .where(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    inter = F.size(F.array_intersect(F.col("src_sh"), F.col("dst_sh")))
+    union = F.size(F.col("src_sh")) + F.size(F.col("dst_sh")) - inter
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("src", "dst", "jaccard")
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation over (src, dst) string edges -> (node, component).
+
+    Iterative DataFrame joins with convergence check; localCheckpoint each
+    round bounds lineage (SURVEY.md §7 M4 'CC iteration driver loop';
+    large-star/small-star is the published alternative — min-propagation
+    converges in O(diameter) rounds which is small for surface-form graphs).
+    """
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = und.select(F.col("src").alias("node")).dropDuplicates(["node"])
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels.withColumnRenamed("node", "dst2"),
+                     und.dst == F.col("dst2"))
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize_mentions(
+    mentions: DataFrame,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    alias_dict: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Full canonicalization: returns (mention_entity_map, components).
+
+    mention_entity_map: (mention_id, entity_id) where entity_id is the linked
+    dictionary id when available, else 'sf:' + canonical surface of the
+    mention's connected component.
+    """
+    surfaces = mentions.select(
+        normalize_surface(F.col("surface")).alias("surface_norm")
+    ).dropDuplicates(["surface_norm"])
+    edges = lsh_candidate_edges(
+        surfaces, "surface_norm", shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+    )
+    comps = connected_components(edges)
+    # singletons (no edges) keep themselves as component
+    comps_full = (
+        surfaces.join(comps, surfaces.surface_norm == comps.node, "left")
+        .select(
+            "surface_norm",
+            F.coalesce(F.col("component"), F.col("surface_norm")).alias("component"),
+        )
+    )
+    canonical = comps_full.groupBy("component").agg(
+        F.min("surface_norm").alias("canonical_surface")
+    )
+    surface_entity = comps_full.join(canonical, "component").select(
+        "surface_norm",
+        F.concat(F.lit("sf:"), F.col("canonical_surface")).alias("cc_entity_id"),
+    )
+    m = mentions.withColumn("surface_norm", normalize_surface(F.col("surface")))
+    if alias_dict is not None:
+        m = link_entities(m, alias_dict)
+    else:
+        m = m.withColumn("linked_entity_id", F.lit(None).cast("string"))
+    mapped = (
+        m.join(surface_entity, "surface_norm", "left")
+        .select(
+            "mention_id",
+            F.coalesce(F.col("linked_entity_id"), F.col("cc_entity_id")).alias("entity_id"),
+        )
+    )
+    return mapped, comps_full

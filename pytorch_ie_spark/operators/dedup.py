@@ -1,0 +1,191 @@
+"""Document deduplication family for training-data pipelines.
+
+All variants are pure DataFrame expressions (whole-stage codegen, no UDFs)
+built on engine-portable md5 hashing so each has a bit-exact DuckDB oracle:
+
+  - exact:         md5 of normalized text, keep min doc_id per group
+  - MinHash + LSH: char-shingle salted-md5 minhash -> banded buckets ->
+                   verified candidate pairs (near-dup)
+  - SimHash:       16-bit simhash over tokens (md5-derived bits)
+  - n-gram Jaccard: token-trigram set overlap over blocked pairs
+  - embedding cosine: see operators/similarity.py
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .canonicalize import char_shingles_col, minhash_signature_cols
+
+
+def normalize_text(col):
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) docs: (content_key, keep_id,
+    dup_count). Hash-groupBy — the canonical exact-dedup at any scale."""
+    return (
+        df.select(
+            F.md5(normalize_text(F.col(text_col))).alias("content_key"),
+            F.col(id_col).cast("long").alias("doc_id"),
+        )
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (src_id < dst_id) verified by shingle
+    Jaccard. shingle -> minhash -> band -> bucket-join, the standard
+    web-dedup pipeline, expressed as DataFrame ops only."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        char_shingles_col(normalize_text(F.col(text_col)), shingle_k).alias("shingles"),
+    )
+    sig = base.select(
+        "doc_id", "shingles", *minhash_signature_cols(F.col("shingles"), num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"mh{i}") for i in range(b * band_size, (b + 1) * band_size)],
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    stacked = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(F.array(*band_cols)).alias("band_key"),
+    )
+    a = stacked.select("band_key", F.col("doc_id").alias("src_id"), F.col("shingles").alias("src_sh"))
+    b_ = stacked.select("band_key", F.col("doc_id").alias("dst_id"), F.col("shingles").alias("dst_sh"))
+    pairs = (
+        a.join(b_, "band_key")
+        .where(F.col("src_id") < F.col("dst_id"))
+        .select("src_id", "dst_id", "src_sh", "dst_sh")
+        .dropDuplicates(["src_id", "dst_id"])
+    )
+    inter = F.size(F.array_intersect(F.col("src_sh"), F.col("dst_sh")))
+    union = F.size(F.col("src_sh")) + F.size(F.col("dst_sh")) - inter
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("src_id", "dst_id", "jaccard")
+    )
+
+
+def _hex4_to_int(hexcol):
+    """First 4 hex chars -> 16-bit int via per-char strpos math (portable)."""
+    digits = "0123456789abcdef"
+    parts = [
+        (F.instr(F.lit(digits), F.substring(hexcol, i + 1, 1)) - 1)
+        * (16 ** (3 - i))
+        for i in range(4)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash) — 16-bit simhash over whitespace tokens."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("tokens"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.transform(F.col("tokens"), lambda t: _hex4_to_int(F.md5(t))).alias("hs"),
+    )
+    # bit b contributes 2^b iff sum over tokens of (bit set ? 1 : -1) > 0
+    bit_terms = []
+    for b in range(16):
+        bitsum = F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h, b=b: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_terms.append(F.when(bitsum > 0, F.lit(2**b)).otherwise(F.lit(0)))
+    sim = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim = sim + t
+    return hashed.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Docs sharing an identical 16-bit simhash (cheap near-dup blocking)."""
+    s = simhash16(df, id_col, text_col)
+    return (
+        s.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    block_col: str | None = None,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Token n-gram Jaccard over blocked pairs: explode distinct n-grams,
+    self-join on n-gram (inverted-index join — never a cross join), count
+    shared per pair, Jaccard from per-doc distinct counts."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
+        F.split(normalize_text(F.col(text_col)), " ").alias("tokens"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "block",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("tokens") - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("tokens"), i + 1, n)),
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("doc_id").alias("src_id"), "block", "gram")
+    b = grams.select(F.col("doc_id").alias("dst_id"), F.col("block").alias("block2"), F.col("gram").alias("gram2"))
+    shared = (
+        a.join(b, (a.gram == b.gram2) & (a.block == b.block2) & (a.src_id < b.dst_id))
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("src_id"), F.col("n_grams").alias("src_n"))
+    sb = sizes.select(F.col("doc_id").alias("dst_id"), F.col("n_grams").alias("dst_n"))
+    return (
+        shared.join(sa, "src_id")
+        .join(sb, "dst_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("src_n") + F.col("dst_n") - F.col("shared")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("src_id", "dst_id", "shared", "jaccard")
+    )

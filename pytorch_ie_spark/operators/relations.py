@@ -1,0 +1,110 @@
+"""Relation classification stage: candidate pairs -> BinaryRelation rows.
+
+Reference path (SURVEY.md §3.1): encode candidate (marker insertion +
+window around args) -> batched transformer -> argmax -> none-label
+suppression (re_text_classification_with_indices.py:1369-1381).
+
+Spark realization: join candidates with document text + the document's
+mention list (the classifier's context), then one Arrow-batched
+mapInPandas call running the pair classifier per batch. The none label is
+filtered *after* classification, exactly like the reference decode.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .models import resolve_model
+
+RELATIONS_SCHEMA = (
+    "doc_id string, head_mention_id string, tail_mention_id string, "
+    "label string, score double, source string, content_sha256 string"
+)
+
+
+def classify_relations(
+    candidates: DataFrame,
+    documents: DataFrame,
+    mentions: DataFrame,
+    model_name: str = "rule_re",
+    model_config: dict | None = None,
+    none_label: str = "no_relation",
+    keep_none: bool = False,
+) -> DataFrame:
+    """Classify each candidate pair; suppress the none label by default."""
+    doc_ctx = documents.select("doc_id", "text")
+    # per-doc mention context (the classifier sees the full entity layer,
+    # as the reference taskmodule sees document.entities)
+    mention_ctx = (
+        mentions.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("start", "end", "label"))
+            ).alias("doc_mentions")
+        )
+    )
+    enriched = candidates.join(doc_ctx, "doc_id", "left").join(
+        mention_ctx, "doc_id", "left"
+    )
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = resolve_model(model_name, model_config)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = list(pdf["text"])
+            mlists = [
+                [
+                    (int(m["start"]), int(m["end"]), m["label"])
+                    for m in (ms if ms is not None else [])
+                ]
+                for ms in pdf["doc_mentions"]
+            ]
+            heads = list(zip(pdf["head_start"].astype(int), pdf["head_end"].astype(int)))
+            tails = list(zip(pdf["tail_start"].astype(int), pdf["tail_end"].astype(int)))
+            preds = model.predict_pairs(
+                texts,
+                mlists,
+                heads,
+                tails,
+                head_labels=list(pdf["head_label"]),
+                tail_labels=list(pdf["tail_label"]),
+            )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "head_mention_id": pdf["head_mention_id"].values,
+                    "tail_mention_id": pdf["tail_mention_id"].values,
+                    "label": [p[0] for p in preds],
+                    "score": [float(p[1]) for p in preds],
+                    "source": "pred",
+                    "content_sha256": pdf["content_sha256"].values,
+                }
+            )
+            yield out
+
+    relations = enriched.mapInPandas(infer, schema=RELATIONS_SCHEMA)
+    if not keep_none:
+        relations = relations.filter(F.col("label") != none_label)
+    return relations
+
+
+def merge_relation_layers(*layers: DataFrame) -> DataFrame:
+    """Multi-source annotation merge: union layers, dedup by value keeping the
+    max score (utils/document.py:76-144 merge + deduplicate_annotations)."""
+    merged = layers[0]
+    for other in layers[1:]:
+        merged = merged.unionByName(other)
+    key = ["doc_id", "head_mention_id", "tail_mention_id", "label"]
+    return (
+        merged.groupBy(*key)
+        .agg(
+            F.max("score").alias("score"),
+            F.min("source").alias("source"),
+            F.first("content_sha256", ignorenulls=True).alias("content_sha256"),
+        )
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  - brute-force cosine top-k: broadcast the (small) query set against all
+    vectors; dot/norms via higher-order functions (zip_with + aggregate),
+    fully JVM-side — the exact baseline,
+  - LSH-bucketed ANN: deterministic random-hyperplane signatures (weights
+    ±1 derived from md5(plane|dim), engine-portable) bucket the vectors;
+    candidates are same-bucket only — the 100 TB scale path (bucket join
+    instead of cross join).
+
+Embedding near-duplicate detection (cosine >= threshold within a block) is
+the embedding leg of the dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id) top-k cosine neighbors, self excluded.
+
+    Ties broken by neighbor_id; ranks are what downstream consumers need and
+    are float-precision-robust (scores stay internal). Vectors are cast to
+    double before arithmetic so results match a float64 oracle."""
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    queries = base.where(F.col("nid").isin([int(q) for q in query_ids])).select(
+        F.col("nid").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    joined = base.join(F.broadcast(queries), F.col("nid") != F.col("query_id"))
+    cos = (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias("cos")
+    scored = joined.select("query_id", F.col("nid").alias("neighbor_id"), cos)
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def hyperplane_signature_cols(vec_col, num_planes: int = 8):
+    """Deterministic random-hyperplane sign bits: weight for (plane p, dim i)
+    = +1 if first hex char of md5('p|i') >= '8' else -1. Portable to any
+    engine with md5."""
+    sig_terms = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec_col) - 1),
+                    lambda i, p=p: F.when(
+                        F.substring(F.md5(F.concat_ws("|", F.lit(str(p)), i.cast("string"))), 1, 1)
+                        >= "8",
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig_terms.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit{p}"))
+    return sig_terms
+
+
+def lsh_bucketed_ann(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate neighbors: only same-signature pairs are scored.
+    Returns (query_id, rank, neighbor_id, bucket) per bucketed query."""
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    bits = hyperplane_signature_cols(F.col("vec"), num_planes)
+    sig = base.select("nid", "vec", F.concat_ws("", *bits).alias("bucket"))
+    a = sig.select("bucket", F.col("nid").alias("query_id"), F.col("vec").alias("qvec"))
+    b = sig.select(F.col("bucket").alias("bucket2"), F.col("nid").alias("neighbor_id"), "vec")
+    pairs = a.join(b, (a.bucket == b.bucket2) & (F.col("query_id") != F.col("neighbor_id")))
+    cos = (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias("cos")
+    scored = pairs.select("bucket", "query_id", "neighbor_id", cos)
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "bucket")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs within a blocking column (label / LSH bucket)."""
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(block_col).cast("string").alias("block"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    a = base.select("block", F.col("nid").alias("src_id"), F.col("vec").alias("src_v"))
+    b = base.select(F.col("block").alias("block2"), F.col("nid").alias("dst_id"), F.col("vec").alias("dst_v"))
+    pairs = a.join(b, (a.block == b.block2) & (F.col("src_id") < F.col("dst_id")))
+    cos = _dot(F.col("src_v"), F.col("dst_v")) / (_norm(F.col("src_v")) * _norm(F.col("dst_v")))
+    return (
+        pairs.select("block", "src_id", "dst_id", F.round(cos, 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

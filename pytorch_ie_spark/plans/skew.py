@@ -1,0 +1,66 @@
+"""Skew handling: salted repartitioning + size-bucketed coalescing.
+
+The north_rule's skew sources at 10^12-file scale:
+  - mega-repos: a single `repo` holding a large share of files makes any
+    repo-keyed shuffle partition hot -> salt the key,
+  - long files: a few documents dominating UDF wall time inside otherwise
+    balanced partitions -> bucket by content length and range-partition so
+    long docs spread across executors (and Arrow batches stay homogeneous,
+    which also bounds padding waste in the model UDF).
+
+AQE's skewJoin only rebalances *joins*; UDF-stage skew needs this explicit
+treatment (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_repartition(
+    df: DataFrame, key_col: str, num_salts: int = 16, num_partitions: int | None = None
+) -> DataFrame:
+    """Repartition on (key, deterministic salt) so one hot key spreads over
+    `num_salts` partitions. Salt derives from a row-content hash, not rand(),
+    so the layout is reproducible (checkpoint-resume safe)."""
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts)),
+    )
+    if num_partitions:
+        out = salted.repartition(num_partitions, F.col(key_col), F.col("_salt"))
+    else:
+        out = salted.repartition(F.col(key_col), F.col("_salt"))
+    return out.drop("_salt")
+
+
+def size_bucketed(
+    df: DataFrame,
+    length_col,
+    bucket_width: int = 1024,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Range-partition rows by a size bucket of `length_col` (expression ok):
+    long rows co-locate with long rows, so per-partition work is even and
+    batch padding is bounded."""
+    bucketed = df.withColumn(
+        "_size_bucket", (length_col / F.lit(bucket_width)).cast("int")
+    )
+    if num_partitions:
+        out = bucketed.repartitionByRange(num_partitions, "_size_bucket")
+    else:
+        out = bucketed.repartitionByRange("_size_bucket")
+    return out.drop("_size_bucket")
+
+
+def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Diagnostic: heaviest keys with their share of total rows."""
+    total = df.count()
+    return (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .withColumn("share", F.round(F.col("rows") / F.lit(total), 6))
+        .orderBy(F.col("rows").desc())
+        .limit(top_n)
+    )
