@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query — the full KG-construction pipeline
+  (mention detection -> candidate pairs -> relation classification ->
+  triples) over the sf0.001 documents corpus.
+- ``queries()``: one callable per implemented operator (SURVEY.md §2 +
+  training-data-pipeline extensions), delegating to
+  ``pytorch_ie_spark.queries``.
+- ``oracle_sql()``: the equivalent DuckDB SQL for each query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pytorch_ie_spark.queries import QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG triples over /root/testdata/sf0.001 documents."""
+    from pytorch_ie_spark.pipeline import KgPipelineConfig, run_kg_pipeline
+    from pytorch_ie_spark.sources.readers import source_files_from_documents
+
+    src = source_files_from_documents(spark, "/root/testdata/sf0.001")
+    cfg = KgPipelineConfig(
+        ner_model="gazetteer_ner",
+        re_model="cooccurrence_re",
+        max_candidate_distance=40,
+        canonicalize=True,
+    )
+    return run_kg_pipeline(spark, src, cfg)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _oracle) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: oracle for name, (_fn, oracle) in QUERIES.items() if oracle is not None
+    }

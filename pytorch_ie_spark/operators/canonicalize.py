@@ -50,12 +50,15 @@ def char_shingles_col(col, k: int = 3):
 def minhash_signature_cols(shingle_col, num_hashes: int = 16):
     """One lexicographic-min salted md5 per seed (portable MinHash family —
     same values computable in DuckDB, see functions/hashing.py)."""
-    return [
-        F.array_min(
-            F.transform(shingle_col, lambda x, s=seed: F.md5(F.concat(F.lit(f"{s}|"), x)))
+    # NB: the lambda must be single-arg — a 2-arg lambda to F.transform is
+    # interpreted as (element, index), silently corrupting the salt
+    def salted_min(seed: int):
+        prefix = f"{seed}|"
+        return F.array_min(
+            F.transform(shingle_col, lambda x: F.md5(F.concat(F.lit(prefix), x)))
         ).alias(f"mh{seed}")
-        for seed in range(num_hashes)
-    ]
+
+    return [salted_min(seed) for seed in range(num_hashes)]
 
 
 def link_entities(
@@ -140,8 +143,12 @@ def connected_components(
     large-star/small-star is the published alternative — min-propagation
     converges in O(diameter) rounds which is small for surface-form graphs).
     """
-    und = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # materialize once: every iteration (join + convergence count) would
+        # otherwise re-run the full upstream lineage that produced the edges
+        .localCheckpoint()
     )
     nodes = und.select(F.col("src").alias("node")).dropDuplicates(["node"])
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()

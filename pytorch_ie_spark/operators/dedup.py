@@ -90,17 +90,9 @@ def minhash_lsh_pairs(
 
 
 def _hex4_to_int(hexcol):
-    """First 4 hex chars -> 16-bit int via per-char strpos math (portable)."""
-    digits = "0123456789abcdef"
-    parts = [
-        (F.instr(F.lit(digits), F.substring(hexcol, i + 1, 1)) - 1)
-        * (16 ** (3 - i))
-        for i in range(4)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out + p
-    return out
+    """First 4 hex chars -> 16-bit int (JVM-side base conversion; the DuckDB
+    oracle does the same with per-char strpos math)."""
+    return F.conv(F.substring(hexcol, 1, 4), 16, 10).cast("int")
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -114,15 +106,16 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.transform(F.col("tokens"), lambda t: _hex4_to_int(F.md5(t))).alias("hs"),
     )
     # bit b contributes 2^b iff sum over tokens of (bit set ? 1 : -1) > 0
-    bit_terms = []
-    for b in range(16):
+    def bit_term(b: int):
         bitsum = F.aggregate(
             F.col("hs"),
             F.lit(0),
-            lambda acc, h, b=b: acc
+            lambda acc, h: acc
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-        bit_terms.append(F.when(bitsum > 0, F.lit(2**b)).otherwise(F.lit(0)))
+        return F.when(bitsum > 0, F.lit(2**b)).otherwise(F.lit(0))
+
+    bit_terms = [bit_term(b) for b in range(16)]
     sim = bit_terms[0]
     for t in bit_terms[1:]:
         sim = sim + t

@@ -47,11 +47,11 @@ def pr_f1(
     )
     micro = (
         per_label.agg(
-            F.lit("MICRO").alias(label_col),
             F.sum("gold_count").alias("gold_count"),
             F.sum("pred_count").alias("pred_count"),
             F.sum("tp").alias("tp"),
         )
+        .withColumn(label_col, F.lit("MICRO"))
         .withColumn("precision", F.when(F.col("pred_count") > 0, F.col("tp") / F.col("pred_count")).otherwise(F.lit(0.0)))
         .withColumn("recall", F.when(F.col("gold_count") > 0, F.col("tp") / F.col("gold_count")).otherwise(F.lit(0.0)))
         .withColumn(

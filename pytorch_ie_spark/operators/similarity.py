@@ -67,27 +67,32 @@ def brute_force_topk(
 def hyperplane_signature_cols(vec_col, num_planes: int = 8):
     """Deterministic random-hyperplane sign bits: weight for (plane p, dim i)
     = +1 if first hex char of md5('p|i') >= '8' else -1. Portable to any
-    engine with md5."""
-    sig_terms = []
-    for p in range(num_planes):
+    engine with md5.
+
+    The projection is computed on 1e6-quantized integer terms so the sign is
+    exact and engine/order-independent (a float sum could flip a near-zero
+    projection between engines)."""
+
+    def plane_bit(p: int):
+        prefix = f"{p}|"
+        weights = F.transform(
+            F.sequence(F.lit(0), F.size(vec_col) - 1),
+            lambda i: F.when(
+                F.substring(F.md5(F.concat(F.lit(prefix), i.cast("string"))), 1, 1)
+                >= "8",
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
         proj = F.aggregate(
             F.zip_with(
-                vec_col,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec_col) - 1),
-                    lambda i, p=p: F.when(
-                        F.substring(F.md5(F.concat_ws("|", F.lit(str(p)), i.cast("string"))), 1, 1)
-                        >= "8",
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, w: x * w,
+                vec_col, weights, lambda x, w: F.round(x * w * 1000000.0, 0).cast("long")
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
-        sig_terms.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit{p}"))
-    return sig_terms
+        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit{p}")
+
+    return [plane_bit(p) for p in range(num_planes)]
 
 
 def lsh_bucketed_ann(

@@ -1,0 +1,1025 @@
+"""Query registry: every operator exposed as (spark_fn, oracle_sql) pairs.
+
+Each entry is one operator family from SURVEY.md §2 (or a training-data
+pipeline extension), implemented Spark-first in this package, plus an
+equivalent ANSI-SQL oracle that DuckDB runs on the same parquet tables.
+
+Engine-portability contract used throughout (so value hashes match):
+  - hashing is md5 hex (identical in Spark/DuckDB/Python),
+  - every integer output is BIGINT/long,
+  - every float output is round(x, 4..6) computed from identical inputs,
+  - sums over money go through CAST(ROUND(double_expr, 4) AS DECIMAL(18,4))
+    so aggregation is exact and order-independent, then CAST AS DOUBLE,
+  - ties in any rank are broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .operators.candidates import candidate_pairs
+from .operators.canonicalize import connected_components, normalize_surface
+from .operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    normalize_text,
+    simhash16,
+)
+from .operators.metrics import pr_f1
+from .operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    hyperplane_signature_cols,
+)
+from .operators.canonicalize import char_shingles_col, minhash_signature_cols
+from .sources.readers import read_table
+from .streaming.sessions import sessionize
+
+# ---------------------------------------------------------------- gazetteer
+
+GAZETTEER = {
+    "spark": "ENGINE",
+    "hash": "ALGO",
+    "merge": "ALGO",
+    "sort": "ALGO",
+    "scan": "OP",
+    "join": "OP",
+    "filter": "OP",
+    "customer": "ACTOR",
+    "supplier": "ACTOR",
+}
+
+RELATION_RULES = {
+    ("ENGINE", "OP"): "engine:supports_op",
+    ("OP", "ALGO"): "op:uses_algo",
+    ("ACTOR", "ENGINE"): "actor:uses_engine",
+}
+
+ALIAS_DICT = {w: f"E:{w}" for w in GAZETTEER}
+
+STOPWORDS = ("the", "a", "and", "at", "of", "in", "to", "it")
+
+MAX_REL_DISTANCE = 40
+
+
+def _gaz_case_sql() -> str:
+    whens = " ".join(f"WHEN '{w}' THEN '{l}'" for w, l in GAZETTEER.items())
+    return f"CASE surface {whens} END"
+
+
+def _gaz_label_col():
+    col = F.lit(None).cast("string")
+    expr = None
+    for w, l in GAZETTEER.items():
+        expr = (
+            F.when(F.col("surface") == w, F.lit(l))
+            if expr is None
+            else expr.when(F.col("surface") == w, F.lit(l))
+        )
+    return expr
+
+
+def _rule_label_col(head_label="head_label", tail_label="tail_label"):
+    expr = None
+    for (hl, tl), lab in RELATION_RULES.items():
+        cond = (F.col(head_label) == hl) & (F.col(tail_label) == tl)
+        expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+    return expr
+
+
+def _rule_case_sql(h="head_label", t="tail_label") -> str:
+    whens = " ".join(
+        f"WHEN {h} = '{hl}' AND {t} = '{tl}' THEN '{lab}'"
+        for (hl, tl), lab in RELATION_RULES.items()
+    )
+    return f"CASE {whens} END"
+
+
+# ------------------------------------------------------------- KG pipeline
+
+def mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer mentions with char offsets over the synthetic documents
+    table — token offsets computed with array HOFs (no shuffle, no UDF;
+    the 100 TB pipeline path does the same inside mapInPandas, see
+    operators/mentions.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # single-pass accumulator: O(n) per document (a slice-based prefix sum
+    # would be O(n^2) and dominated the sf0.1 bench)
+    structs = F.aggregate(
+        toks,
+        F.struct(
+            F.lit(0).alias("pos"),
+            F.array().cast(
+                "array<struct<surface:string,start:int>>"
+            ).alias("arr"),
+        ),
+        lambda acc, t: F.struct(
+            (acc["pos"] + F.length(t) + 1).alias("pos"),
+            F.array_append(
+                acc["arr"], F.struct(t.alias("surface"), acc["pos"].alias("start"))
+            ).alias("arr"),
+        ),
+        lambda acc: acc["arr"],
+    )
+    exploded = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(structs).alias("m"),
+    ).select(
+        "doc_id",
+        F.col("m.surface").alias("surface"),
+        F.col("m.start").cast("long").alias("start"),
+    )
+    return (
+        exploded.where(F.col("surface").isin(list(GAZETTEER)))
+        .withColumn("end", (F.col("start") + F.length("surface")).cast("long"))
+        .withColumn("label", _gaz_label_col())
+    )
+
+
+MENTIONS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS surface,
+         generate_subscripts(string_split(text,' '), 1) AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id::BIGINT AS doc_id, surface,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+)
+SELECT doc_id, surface, start, (start+length(surface))::BIGINT AS "end",
+       {_gaz_case_sql()} AS label
+FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+"""
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mentions_df(spark, sf_dir).select(
+        "doc_id", "surface", "start", "end", "label"
+    )
+
+
+def _relations_df(spark: SparkSession, sf_dir: str, max_distance: int) -> DataFrame:
+    """Directed co-occurrence relations via the candidate-pair operator."""
+    from .functions.hashing import mention_id as _mid  # noqa: F401 (doc parity)
+
+    m = mentions_df(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat_ws("|", "doc_id", "start", "end", "label").alias("mention_id"),
+        F.col("start").cast("int").alias("start"),
+        F.col("end").cast("int").alias("end"),
+        "label",
+        "surface",
+        F.lit(1.0).alias("score"),
+        F.lit("pred").alias("source"),
+        F.lit(None).cast("string").alias("content_sha256"),
+    )
+    pairs = candidate_pairs(m, max_distance=max_distance, distance_mode="inner")
+    directed = pairs.where(F.col("head_end") <= F.col("tail_start"))
+    labeled = directed.withColumn("label", _rule_label_col()).where(
+        F.col("label").isNotNull()
+    )
+    return labeled.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("head_start").cast("long").alias("head_start"),
+        F.col("head_surface"),
+        F.col("tail_start").cast("long").alias("tail_start"),
+        F.col("tail_surface"),
+        "label",
+    )
+
+
+def _relations_oracle(max_distance: int) -> str:
+    gaz_list = ",".join(f"'{w}'" for w in GAZETTEER)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS surface,
+         generate_subscripts(string_split(text,' '), 1) AS ord
+  FROM documents
+), pos AS (
+  -- window sum over ALL tokens first; filtering before the window would
+  -- shift every offset
+  SELECT doc_id::BIGINT AS doc_id, surface,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+), mentions AS (
+  SELECT doc_id, surface, start, {_gaz_case_sql()} AS label
+  FROM pos WHERE surface IN ({gaz_list})
+), pairs AS (
+  SELECT h.doc_id,
+         h.start AS head_start, h.surface AS head_surface, h.label AS head_label,
+         t.start AS tail_start, t.surface AS tail_surface, t.label AS tail_label
+  FROM mentions h JOIN mentions t
+    ON h.doc_id = t.doc_id
+   AND NOT (h.start = t.start AND h.label = t.label)
+   AND h.start + length(h.surface) <= t.start
+   AND t.start - (h.start + length(h.surface)) <= {max_distance}
+)
+SELECT doc_id, head_start, head_surface, tail_start, tail_surface,
+       {_rule_case_sql()} AS label
+FROM pairs
+WHERE {_rule_case_sql()} IS NOT NULL
+"""
+
+
+def q_kg_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _relations_df(spark, sf_dir, MAX_REL_DISTANCE)
+
+
+def q_kg_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-pair histogram of all directed bounded-distance candidates."""
+    m = mentions_df(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat_ws("|", "doc_id", "start", "end", "label").alias("mention_id"),
+        F.col("start").cast("int").alias("start"),
+        F.col("end").cast("int").alias("end"),
+        "label",
+        "surface",
+        F.lit(1.0).alias("score"),
+        F.lit("pred").alias("source"),
+        F.lit(None).cast("string").alias("content_sha256"),
+    )
+    pairs = candidate_pairs(m, max_distance=MAX_REL_DISTANCE)
+    return (
+        pairs.where(F.col("head_end") <= F.col("tail_start"))
+        .groupBy("head_label", "tail_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+CANDIDATE_PAIRS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS surface,
+         generate_subscripts(string_split(text,' '), 1) AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id::BIGINT AS doc_id, surface,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+), mentions AS (
+  SELECT doc_id, surface, start, {_gaz_case_sql()} AS label
+  FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+)
+SELECT h.label AS head_label, t.label AS tail_label, count(*)::BIGINT AS n_pairs
+FROM mentions h JOIN mentions t
+  ON h.doc_id = t.doc_id
+ AND NOT (h.start = t.start AND h.label = t.label)
+ AND h.start + length(h.surface) <= t.start
+ AND t.start - (h.start + length(h.surface)) <= {MAX_REL_DISTANCE}
+GROUP BY 1, 2
+"""
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = _relations_df(spark, sf_dir, MAX_REL_DISTANCE)
+    return (
+        rels.groupBy(
+            F.col("head_surface").alias("subj"),
+            F.col("label").alias("pred"),
+            F.col("tail_surface").alias("obj"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+TRIPLES_ORACLE = f"""
+WITH rels AS ({_relations_oracle(MAX_REL_DISTANCE)})
+SELECT head_surface AS subj, label AS pred, tail_surface AS obj,
+       count(*)::BIGINT AS n
+FROM rels GROUP BY 1,2,3
+"""
+
+
+def q_kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast alias-dictionary linking; per-entity mention counts."""
+    m = mentions_df(spark, sf_dir)
+    aliases = spark.createDataFrame(
+        [(k, v) for k, v in ALIAS_DICT.items()], "alias string, entity_id string"
+    )
+    linked = m.join(
+        F.broadcast(aliases), normalize_surface(F.col("surface")) == F.col("alias")
+    )
+    return linked.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+ENTITY_LINKING_ORACLE = f"""
+WITH mentions AS (
+  SELECT doc_id::BIGINT AS doc_id, unnest(string_split(text,' ')) AS surface
+  FROM documents
+), aliases(alias, entity_id) AS (
+  VALUES {",".join(f"('{k}','{v}')" for k, v in ALIAS_DICT.items())}
+)
+SELECT entity_id, count(*)::BIGINT AS n_mentions,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM mentions JOIN aliases ON surface = alias
+GROUP BY 1
+"""
+
+
+def q_kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC over the co-occurrence relation graph (iterative DataFrame joins;
+    oracle is a recursive transitive-closure CTE)."""
+    rels = _relations_df(spark, sf_dir, MAX_REL_DISTANCE)
+    edges = rels.select(
+        F.col("head_surface").alias("src"), F.col("tail_surface").alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    return connected_components(edges)
+
+
+CC_ORACLE = f"""
+WITH RECURSIVE rels AS ({_relations_oracle(MAX_REL_DISTANCE)}),
+edges AS (SELECT DISTINCT head_surface AS src, tail_surface AS dst FROM rels),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, und.dst FROM reach JOIN und ON reach.r = und.src
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+def q_kg_pr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P/R/F1 machinery check: 'pred' = distance<=20 relations vs 'gold' =
+    distance<=40 (perfect precision, partial recall by construction)."""
+    gold = _relations_df(spark, sf_dir, 40)
+    pred = _relations_df(spark, sf_dir, 20)
+    key = ["doc_id", "head_start", "tail_start", "label"]
+    out = pr_f1(gold, pred, key_cols=key, label_col="label")
+    return out.select(
+        "label",
+        F.col("gold_count").cast("long").alias("gold_count"),
+        F.col("pred_count").cast("long").alias("pred_count"),
+        F.col("tp").cast("long").alias("tp"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+PR_METRICS_ORACLE = f"""
+WITH gold AS (SELECT DISTINCT doc_id, head_start, tail_start, label
+              FROM ({_relations_oracle(40)})),
+pred AS (SELECT DISTINCT doc_id, head_start, tail_start, label
+         FROM ({_relations_oracle(20)})),
+tp AS (
+  SELECT g.label, count(*)::BIGINT AS tp
+  FROM gold g JOIN pred p USING (doc_id, head_start, tail_start, label)
+  GROUP BY 1
+),
+gc AS (SELECT label, count(*)::BIGINT AS gold_count FROM gold GROUP BY 1),
+pc AS (SELECT label, count(*)::BIGINT AS pred_count FROM pred GROUP BY 1),
+per_label AS (
+  SELECT coalesce(gc.label, pc.label, tp.label) AS label,
+         coalesce(gold_count, 0)::BIGINT AS gold_count,
+         coalesce(pred_count, 0)::BIGINT AS pred_count,
+         coalesce(tp, 0)::BIGINT AS tp
+  FROM gc FULL JOIN pc ON gc.label = pc.label
+  FULL JOIN tp ON coalesce(gc.label, pc.label) = tp.label
+),
+with_micro AS (
+  SELECT * FROM per_label
+  UNION ALL
+  SELECT 'MICRO', sum(gold_count)::BIGINT, sum(pred_count)::BIGINT,
+         sum(tp)::BIGINT FROM per_label
+)
+SELECT label, gold_count, pred_count, tp,
+  round(CASE WHEN pred_count > 0 THEN tp / pred_count::DOUBLE ELSE 0.0 END, 6) AS precision,
+  round(CASE WHEN gold_count > 0 THEN tp / gold_count::DOUBLE ELSE 0.0 END, 6) AS recall,
+  round(CASE WHEN (CASE WHEN pred_count > 0 THEN tp / pred_count::DOUBLE ELSE 0.0 END
+               + CASE WHEN gold_count > 0 THEN tp / gold_count::DOUBLE ELSE 0.0 END) > 0
+        THEN 2 * (CASE WHEN pred_count > 0 THEN tp / pred_count::DOUBLE ELSE 0.0 END)
+               * (CASE WHEN gold_count > 0 THEN tp / gold_count::DOUBLE ELSE 0.0 END)
+             / ((CASE WHEN pred_count > 0 THEN tp / pred_count::DOUBLE ELSE 0.0 END)
+               + (CASE WHEN gold_count > 0 THEN tp / gold_count::DOUBLE ELSE 0.0 END))
+        ELSE 0.0 END, 6) AS f1
+FROM with_micro
+"""
+
+
+# ------------------------------------------------------------------ dedup
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "doc_id", "text")
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,
+       min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        char_shingles_col(normalize_text(F.col("text")), 5).alias("sh"),
+    )
+    return base.select("doc_id", *minhash_signature_cols(F.col("sh"), 4))
+
+
+MINHASH_SIG_ORACLE = """
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_distinct(list_transform(
+           generate_series(1, length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) - 4),
+           i -> substr(trim(regexp_replace(lower(text),'\\s+',' ','g')), i, 5))) AS sh
+  FROM documents
+  WHERE length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) >= 5
+)
+SELECT doc_id,
+  list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+  list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+  list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+  list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+FROM base
+"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_k=5, num_hashes=16, band_size=4,
+        jaccard_threshold=0.5,
+    )
+
+
+MINHASH_PAIRS_ORACLE = """
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_distinct(list_transform(
+           generate_series(1, length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) - 4),
+           i -> substr(trim(regexp_replace(lower(text),'\\s+',' ','g')), i, 5))) AS sh
+  FROM documents
+  WHERE length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) >= 5
+), sig AS (
+  SELECT doc_id, sh,
+    list_transform(generate_series(0, 3), b ->
+      CAST(b*4 AS VARCHAR) || '|' ||
+      list_aggregate(list_transform(sh, x -> md5(CAST(b*4   AS VARCHAR) || '|' || x)), 'min') || '|' ||
+      list_aggregate(list_transform(sh, x -> md5(CAST(b*4+1 AS VARCHAR) || '|' || x)), 'min') || '|' ||
+      list_aggregate(list_transform(sh, x -> md5(CAST(b*4+2 AS VARCHAR) || '|' || x)), 'min') || '|' ||
+      list_aggregate(list_transform(sh, x -> md5(CAST(b*4+3 AS VARCHAR) || '|' || x)), 'min')
+    ) AS bands
+  FROM base
+), stacked AS (
+  SELECT doc_id, sh, unnest(bands) AS band_key FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id,
+         a.sh AS src_sh, b.sh AS dst_sh
+  FROM stacked a JOIN stacked b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT src_id, dst_id,
+  round(length(list_intersect(src_sh, dst_sh))::DOUBLE
+        / (length(src_sh) + length(dst_sh) - length(list_intersect(src_sh, dst_sh))), 6) AS jaccard
+FROM pairs
+WHERE length(list_intersect(src_sh, dst_sh))::DOUBLE
+      / (length(src_sh) + length(dst_sh) - length(list_intersect(src_sh, dst_sh))) >= 0.5
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash16(docs, "doc_id", "text").select(
+        "doc_id", F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS tokens
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+    list_transform(tokens, t ->
+      (strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096
+    + (strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256
+    + (strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16
+    + (strpos('0123456789abcdef', substr(md5(t),4,1))-1)) AS hs
+  FROM toks
+)
+SELECT doc_id, (
+""" + " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {2**b} ELSE 0 END)"
+    for b in range(16)
+) + """
+)::BIGINT AS simhash
+FROM hashed
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, block_col="source", threshold=0.2
+    )
+
+
+NGRAM_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id, source,
+         string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk)-2, 1)),
+           i -> tk[i] || ' ' || coalesce(tk[i+1],'') || ' ' || coalesce(tk[i+2],'')))) AS gram
+  FROM toks
+), fixed AS (
+  SELECT doc_id, source, trim(gram) AS gram FROM grams
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams FROM fixed GROUP BY 1
+), shared AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*)::BIGINT AS shared
+  FROM fixed a JOIN fixed b
+    ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src_id, dst_id, shared,
+  round(shared::DOUBLE / (sa.n_grams + sb.n_grams - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = src_id
+JOIN sizes sb ON sb.doc_id = dst_id
+WHERE shared::DOUBLE / (sa.n_grams + sb.n_grams - shared) >= 0.2
+"""
+
+
+# -------------------------------------------------------------- similarity
+
+ANN_QUERY_IDS = list(range(10))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, ANN_QUERY_IDS, k=5)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("neighbor_id").cast("long"),
+    )
+
+
+ANN_TOPK_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id::BIGINT AS nid, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT nid AS query_id, v AS qv FROM base
+  WHERE nid IN ({",".join(str(i) for i in ANN_QUERY_IDS)})
+), scored AS (
+  SELECT query_id, b.nid AS neighbor_id,
+         list_dot_product(qv, b.v)
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM q, base b WHERE b.nid != query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk::BIGINT AS rank, neighbor_id FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("nid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+    )
+    bits = hyperplane_signature_cols(F.col("vec"), 8)
+    sig = base.select("nid", F.concat_ws("", *bits).alias("bucket"))
+    return sig.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+
+
+_proj_sql = " || ".join(
+    f"""(CASE WHEN list_sum(list_transform(generate_series(0, 63),
+      i -> round(v[i+1] * (CASE WHEN substr(md5('{p}|' || CAST(i AS VARCHAR)), 1, 1) >= '8'
+                     THEN 1.0 ELSE -1.0 END) * 1000000.0)::BIGINT)) > 0
+      THEN '1' ELSE '0' END)"""
+    for p in range(8)
+)
+
+ANN_LSH_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id::BIGINT AS nid, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT ({_proj_sql}) AS bucket, count(*)::BIGINT AS n_vectors
+FROM base GROUP BY 1
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.30, block_col="label").select(
+        "block",
+        F.col("src_id").cast("long"),
+        F.col("dst_id").cast("long"),
+        "cos",
+    )
+
+
+EMB_NEAR_DUP_ORACLE = """
+WITH base AS (
+  SELECT CAST(label AS VARCHAR) AS block, vec_id::BIGINT AS nid,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+)
+SELECT a.block, a.nid AS src_id, b.nid AS dst_id,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM base a JOIN base b ON a.block = b.block AND a.nid < b.nid
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.30
+"""
+
+
+# ----------------------------------------------------------- text analysis
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(
+                F.sum(F.size(F.split("text", " "))) / F.count(F.lit(1)), 4
+            ).alias("avg_tokens"),
+        )
+    )
+
+
+TEXT_STATS_ORACLE = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(len(string_split(text,' ')))::BIGINT AS total_tokens,
+       sum(n_chars)::BIGINT AS total_chars,
+       round(sum(len(string_split(text,' ')))::DOUBLE / count(*), 4) AS avg_tokens
+FROM documents GROUP BY 1
+"""
+
+_STOP_LIST = ",".join(f"'{s}'" for s in STOPWORDS)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS))))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(n_distinct / n_tokens, 6).alias("distinct_ratio"),
+    )
+
+
+TEXT_QUALITY_ORACLE = f"""
+WITH toks AS (SELECT doc_id::BIGINT AS doc_id, string_split(text,' ') AS tk FROM documents)
+SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+       len(list_distinct(tk))::BIGINT AS n_distinct,
+       len(list_filter(tk, t -> t IN ({_STOP_LIST})))::BIGINT AS n_stopwords,
+       round(len(list_distinct(tk))::DOUBLE / len(tk), 6) AS distinct_ratio
+FROM toks
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic; confusion counts vs the lang column."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    def marker_hits(markers: tuple[str, ...]):
+        ms = list(markers)
+        return F.size(F.filter(toks, lambda t: t.isin(ms)))
+
+    hits = {
+        lang: marker_hits(markers)
+        for lang, markers in {
+            "en": ("the", "and", "of"),
+            "de": ("der", "und", "das"),
+            "fr": ("le", "et", "la"),
+            "es": ("el", "y", "la"),
+        }.items()
+    }
+    pred = (
+        F.when(hits["de"] > hits["en"], F.lit("de"))
+        .when(hits["fr"] > F.greatest(hits["en"], hits["de"]), F.lit("fr"))
+        .when(
+            hits["es"] > F.greatest(hits["en"], hits["de"], hits["fr"]), F.lit("es")
+        )
+        .otherwise(F.lit("en"))
+    )
+    return (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+TEXT_LANGID_ORACLE = """
+WITH h AS (
+  SELECT lang,
+    len(list_filter(list_distinct(string_split(lower(text),' ')), t -> t IN ('the','and','of'))) AS h_en,
+    len(list_filter(list_distinct(string_split(lower(text),' ')), t -> t IN ('der','und','das'))) AS h_de,
+    len(list_filter(list_distinct(string_split(lower(text),' ')), t -> t IN ('le','et','la'))) AS h_fr,
+    len(list_filter(list_distinct(string_split(lower(text),' ')), t -> t IN ('el','y','la'))) AS h_es
+  FROM documents
+)
+SELECT lang,
+  CASE WHEN h_de > h_en THEN 'de'
+       WHEN h_fr > greatest(h_en, h_de) THEN 'fr'
+       WHEN h_es > greatest(h_en, h_de, h_fr) THEN 'es'
+       ELSE 'en' END AS lang_pred,
+  count(*)::BIGINT AS n_docs
+FROM h GROUP BY 1, 2
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+        F.substring(F.md5(normalize_text(F.col("text"))), 1, 8).alias("shard_key"),
+    )
+
+
+TEXT_FINGERPRINT_ORACLE = """
+SELECT doc_id::BIGINT AS doc_id,
+       md5(trim(regexp_replace(lower(text),'\\s+',' ','g'))) AS fingerprint,
+       substr(md5(trim(regexp_replace(lower(text),'\\s+',' ','g'))), 1, 8) AS shard_key
+FROM documents
+"""
+
+
+# ------------------------------------------------------------- relational
+
+def _money(col):
+    """Money columns are 2-decimal values stored as double: recover the exact
+    decimal BEFORE arithmetic so sums are exact and engine-identical."""
+    return F.round(col, 2).cast("decimal(18,2)")
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = _money(F.col("l_extendedprice")) * (1 - _money(F.col("l_discount")))
+    charge = disc_price * (1 + _money(F.col("l_tax")))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_money(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
+           * (1 - CAST(round(l_discount, 2) AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
+           * (1 - CAST(round(l_discount, 2) AS DECIMAL(18,2)))
+           * (1 + CAST(round(l_tax, 2) AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority: top 10 unshipped orders by revenue."""
+    cust = read_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    rev = _money(F.col("l_extendedprice")) * (1 - _money(F.col("l_discount")))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey").cast("long"),
+            F.unix_timestamp("o_orderdate").cast("long").alias("orderdate_epoch"),
+            "revenue",
+        )
+    )
+
+
+TPCH_Q3_ORACLE = """
+SELECT l_orderkey::BIGINT AS l_orderkey,
+       epoch(o_orderdate)::BIGINT AS orderdate_epoch,
+       CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
+                * (1 - CAST(round(l_discount, 2) AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume per nation (5-way join, broadcast small dims)."""
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = _money(F.col("l_extendedprice")) * (1 - _money(F.col("l_discount")))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+TPCH_Q5_ORACLE = """
+SELECT n_name,
+  CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
+           * (1 - CAST(round(l_discount, 2) AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q_window_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "c_mktsegment",
+            F.col("rank").cast("long"),
+            F.col("c_custkey").cast("long"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+    )
+
+
+WINDOW_TOP_ORACLE = """
+SELECT c_mktsegment, rank::BIGINT AS rank, c_custkey::BIGINT AS c_custkey,
+       round(c_acctbal, 2) AS c_acctbal
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rank
+  FROM customer
+) WHERE rank <= 3
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=30)
+    return s.select(
+        F.col("user_id").cast("long"),
+        F.col("session_seq").cast("long"),
+        F.col("n_events").cast("long"),
+        F.unix_timestamp("session_start").cast("long").alias("start_epoch"),
+        F.unix_timestamp("session_end").cast("long").alias("end_epoch"),
+        "total_value",
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  -- floor(epoch(..)) matches Spark's unix_timestamp second truncation
+  SELECT user_id::BIGINT AS user_id, event_id, ts, value,
+    CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), with_sid AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+       floor(epoch(min(ts)))::BIGINT AS start_epoch,
+       floor(epoch(max(ts)))::BIGINT AS end_epoch,
+       CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM with_sid GROUP BY 1, 2
+"""
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            .cast("long")
+            .alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+EVENTS_WINDOWED_ORACLE = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------- registry
+
+QUERIES: dict[str, tuple] = {
+    # KG construction
+    "kg_mentions": (q_kg_mentions, MENTIONS_ORACLE),
+    "kg_candidate_pairs": (q_kg_candidate_pairs, CANDIDATE_PAIRS_ORACLE),
+    "kg_relations": (q_kg_relations, _relations_oracle(MAX_REL_DISTANCE)),
+    "kg_triples": (q_kg_triples, TRIPLES_ORACLE),
+    "kg_entity_linking": (q_kg_entity_linking, ENTITY_LINKING_ORACLE),
+    "kg_connected_components": (q_kg_connected_components, CC_ORACLE),
+    "kg_pr_metrics": (q_kg_pr_metrics, PR_METRICS_ORACLE),
+    # dedup family
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_minhash_signatures": (q_dedup_minhash_signatures, MINHASH_SIG_ORACLE),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, MINHASH_PAIRS_ORACLE),
+    "dedup_simhash": (q_dedup_simhash, SIMHASH_ORACLE),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
+    # similarity
+    "ann_topk": (q_ann_topk, ANN_TOPK_ORACLE),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, ANN_LSH_ORACLE),
+    "embedding_near_dups": (q_embedding_near_dups, EMB_NEAR_DUP_ORACLE),
+    # text analysis
+    "text_stats": (q_text_stats, TEXT_STATS_ORACLE),
+    "text_quality": (q_text_quality, TEXT_QUALITY_ORACLE),
+    "text_langid": (q_text_langid, TEXT_LANGID_ORACLE),
+    "text_fingerprint": (q_text_fingerprint, TEXT_FINGERPRINT_ORACLE),
+    # relational core
+    "tpch_q1": (q_tpch_q1, TPCH_Q1_ORACLE),
+    "tpch_q3": (q_tpch_q3, TPCH_Q3_ORACLE),
+    "tpch_q5": (q_tpch_q5, TPCH_Q5_ORACLE),
+    "window_top_customers": (q_window_top_customers, WINDOW_TOP_ORACLE),
+    # events / sessionization
+    "events_sessionize": (q_events_sessionize, SESSIONIZE_ORACLE),
+    "events_windowed": (q_events_windowed, EVENTS_WINDOWED_ORACLE),
+}

@@ -46,7 +46,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # round-then-decimal-sum: exact, order-independent, so results
+            # are bit-identical across engines and shuffle layouts
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
         )
     )
 

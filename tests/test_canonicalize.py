@@ -1,0 +1,87 @@
+"""Canonicalization: MinHash-LSH blocking + connected components
+(FIXTURES.md §4 canonicalization fixture)."""
+
+from pyspark.sql import functions as F
+
+from pytorch_ie_spark.operators.canonicalize import (
+    canonicalize_mentions,
+    connected_components,
+    link_entities,
+    lsh_candidate_edges,
+    normalize_surface,
+)
+
+
+def _mentions(spark, surfaces):
+    rows = [
+        (f"d{i}", f"m{i}", 0, len(s), "ORG", s, 1.0, "pred", None)
+        for i, s in enumerate(surfaces)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, mention_id string, start int, end int, label string, "
+        "surface string, score double, source string, content_sha256 string",
+    )
+
+
+def test_normalize_surface(spark):
+    df = spark.createDataFrame([("  IndieBio,  Inc. ",)], "s string")
+    assert df.select(normalize_surface(F.col("s")).alias("n")).collect()[0]["n"] == "indiebio inc"
+
+
+def test_lsh_blocks_near_duplicates(spark):
+    surfaces = spark.createDataFrame(
+        [("indiebio",), ("indiebio inc",), ("acme corp",), ("acme corporation",)],
+        "surface_norm string",
+    )
+    # band_size=2 (8 bands) so a jaccard-0.5 pair is a near-certain candidate;
+    # with the default 4-row bands LSH correctly may skip it (~23% hit rate)
+    edges = lsh_candidate_edges(surfaces, jaccard_threshold=0.4, band_size=2)
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert ("acme corp", "acme corporation") in got
+    assert ("indiebio", "indiebio inc") in got
+    # disjoint clusters never pair
+    assert not any("acme" in a and "indie" in b for a, b in got)
+    assert not any("indie" in a and "acme" in b for a, b in got)
+
+
+def test_connected_components_chain_and_island(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    comps = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comps == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_canonicalize_mentions_end_to_end(spark):
+    m = _mentions(
+        spark, ["IndieBio", "indiebio", "IndieBio  Inc", "Globex", "Entity A"]
+    )
+    mapping, _ = canonicalize_mentions(m, jaccard_threshold=0.4)
+    ids = {r["mention_id"]: r["entity_id"] for r in mapping.collect()}
+    # case/whitespace variants share one canonical id
+    assert ids["m0"] == ids["m1"] == ids["m2"] == "sf:indiebio"
+    assert ids["m3"] == "sf:globex"
+    assert ids["m4"] == "sf:entity a"
+
+
+def test_entity_linking_dictionary_wins(spark):
+    m = _mentions(spark, ["IndieBio", "Globex"])
+    aliases = spark.createDataFrame(
+        [("indiebio", "Q123")], "alias string, entity_id string"
+    )
+    mapping, _ = canonicalize_mentions(m, alias_dict=aliases)
+    ids = {r["mention_id"]: r["entity_id"] for r in mapping.collect()}
+    assert ids["m0"] == "Q123"  # dictionary link beats surface-form id
+    assert ids["m1"] == "sf:globex"
+
+
+def test_link_entities_broadcast(spark):
+    m = _mentions(spark, ["Spark!", "unknown thing"])
+    aliases = spark.createDataFrame(
+        [("spark", "E1")], "alias string, entity_id string"
+    )
+    out = link_entities(m, aliases).collect()
+    by_surface = {r["surface"]: r["linked_entity_id"] for r in out}
+    assert by_surface["Spark!"] == "E1"
+    assert by_surface["unknown thing"] is None

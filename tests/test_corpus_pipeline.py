@@ -1,0 +1,106 @@
+"""Golden corpus end-to-end: the P/R >= 0.95 triple gate (BASELINE.md) plus
+per-stage invariants (content sha256, mention offsets, relation head/tail)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pytorch_ie_spark.corpus import (
+    fixture_documents,
+    fixture_gold_mentions,
+    fixture_gold_relations,
+    fixture_source_files,
+)
+from pytorch_ie_spark.operators.candidates import candidate_pairs
+from pytorch_ie_spark.operators.mentions import detect_mentions
+from pytorch_ie_spark.operators.metrics import micro_pr, pr_f1
+from pytorch_ie_spark.operators.relations import classify_relations
+from pytorch_ie_spark.pipeline import KgPipelineConfig, run_kg_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_outputs(spark):
+    docs = fixture_documents(spark, split=None)
+    mentions = detect_mentions(docs, model_name="rule_ner").cache()
+    cands = candidate_pairs(mentions, max_distance=200)
+    relations = classify_relations(
+        cands, docs, mentions, model_name="rule_re"
+    ).cache()
+    return docs, mentions, relations
+
+
+def test_mention_pr_gate(spark, pipeline_outputs):
+    _, mentions, _ = pipeline_outputs
+    gold = fixture_gold_mentions(spark, split=None)
+    p, r = micro_pr(gold, mentions, ["doc_id", "start", "end", "label"])
+    assert p >= 0.95 and r >= 0.95
+    assert (p, r) == (1.0, 1.0)
+
+
+def test_relation_pr_gate(spark, pipeline_outputs):
+    """The BASELINE gate: triple P/R >= 0.95 vs reference annotations."""
+    _, _, relations = pipeline_outputs
+    gold = fixture_gold_relations(spark, split=None)
+    p, r = micro_pr(
+        gold, relations, ["doc_id", "head_mention_id", "tail_mention_id", "label"]
+    )
+    assert p >= 0.95 and r >= 0.95
+
+
+def test_per_label_f1(spark, pipeline_outputs):
+    _, _, relations = pipeline_outputs
+    gold = fixture_gold_relations(spark, split=None)
+    table = pr_f1(
+        gold, relations, ["doc_id", "head_mention_id", "tail_mention_id", "label"]
+    ).collect()
+    by_label = {r["label"]: r for r in table}
+    assert by_label["MICRO"]["f1"] == 1.0
+    assert set(by_label) == {
+        "per:employee_of",
+        "per:founder",
+        "org:founded_by",
+        "MICRO",
+    }
+
+
+def test_mention_offsets_golden(spark, pipeline_outputs):
+    """Exact char offsets for doc5 (reference tests assert every offset)."""
+    _, mentions, _ = pipeline_outputs
+    rows = (
+        mentions.where(F.col("doc_id") == "train_doc5")
+        .orderBy("start")
+        .select("start", "end", "label")
+        .collect()
+    )
+    assert [(r["start"], r["end"], r["label"]) for r in rows] == [
+        (16, 24, "PER"),
+        (34, 35, "ORG"),
+        (49, 50, "ORG"),
+    ]
+
+
+def test_content_sha_invariant(spark, pipeline_outputs):
+    """input_hint per-row invariant: sha256(content) survives every stage."""
+    docs, mentions, relations = pipeline_outputs
+    doc_sha = {r["doc_id"]: r["content_sha256"] for r in docs.collect()}
+    for df in (mentions, relations):
+        for row in df.collect():
+            assert row["content_sha256"] == doc_sha[row["doc_id"]]
+
+
+def test_full_pipeline_triples(spark, tmp_path):
+    src = fixture_source_files(spark)
+    triples = run_kg_pipeline(
+        spark, src, KgPipelineConfig(), ckpt_dir=str(tmp_path / "ckpt")
+    )
+    rows = triples.collect()
+    assert len(rows) == 13
+    # canonicalization must not merge distinct entities
+    subjects = {r["subj"] for r in rows}
+    assert "sf:entity g" in subjects and "sf:entity m" in subjects
+    # lineage written for every stage
+    from pytorch_ie_spark.plans.lineage import read_lineage
+
+    stages = {
+        r["stage"] for r in read_lineage(spark, str(tmp_path / "ckpt")).collect()
+    }
+    assert stages == {"documents", "mentions", "relations", "triples"}

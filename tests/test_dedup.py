@@ -1,0 +1,76 @@
+"""Dedup family: exact / minhash / simhash / ngram-jaccard, checked against
+pure-python reference implementations (functions/hashing.py)."""
+
+from pyspark.sql import functions as F
+
+from pytorch_ie_spark.functions.hashing import (
+    char_shingles,
+    jaccard,
+    md5_hex,
+    minhash_signature,
+    simhash16,
+)
+from pytorch_ie_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16 as simhash16_df,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "src0") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_exact_duplicates(spark):
+    df = _docs(spark, ["hello  world", "Hello World", "unique doc"])
+    groups = {r["content_key"]: r for r in exact_duplicates(df, "doc_id", "text").collect()}
+    key = md5_hex("hello world")
+    assert groups[key]["dup_count"] == 2
+    assert groups[key]["keep_id"] == 0
+
+
+def test_minhash_pairs_detect_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " ok"
+    df = _docs(spark, [base, near, "completely different content here entirely"])
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", jaccard_threshold=0.5).collect()
+    assert [(p["src_id"], p["dst_id"]) for p in pairs] == [(0, 1)]
+    # verified jaccard matches the python reference
+    a, b = set(char_shingles(base, 5)), set(char_shingles(near, 5))
+    assert abs(pairs[0]["jaccard"] - round(jaccard(a, b), 6)) < 1e-9
+
+
+def test_minhash_signature_matches_python(spark):
+    text = "some example document text"
+    df = _docs(spark, [text])
+    from pytorch_ie_spark.operators.canonicalize import (
+        char_shingles_col,
+        minhash_signature_cols,
+    )
+    from pytorch_ie_spark.operators.dedup import normalize_text
+
+    row = (
+        df.select(char_shingles_col(normalize_text(F.col("text")), 5).alias("sh"))
+        .select(*minhash_signature_cols(F.col("sh"), 4))
+        .collect()[0]
+    )
+    expected = minhash_signature(char_shingles(text, 5), 4)
+    assert [row[f"mh{i}"] for i in range(4)] == expected
+
+
+def test_simhash_matches_python(spark):
+    text = "alpha beta gamma delta"
+    df = _docs(spark, [text])
+    got = simhash16_df(df, "doc_id", "text").collect()[0]["simhash"]
+    assert got == simhash16(text.split(" "))
+
+
+def test_ngram_jaccard_pairs(spark):
+    a = "a b c d e f g h"
+    df = _docs(spark, [a, a, "x y z w v u t s"])
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert [(p["src_id"], p["dst_id"], p["jaccard"]) for p in pairs] == [(0, 1, 1.0)]

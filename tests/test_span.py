@@ -1,0 +1,75 @@
+"""BIO/IO codec contracts (reference: src/pytorch_ie/utils/span.py:41-216)."""
+
+import pytest
+
+from pytorch_ie_spark.functions.span import (
+    InvalidTagSequence,
+    bio_tags_to_spans,
+    has_overlap,
+    io_tags_to_spans,
+    is_contained_in,
+    span_distance,
+    spans_to_bio_tags,
+)
+
+
+def test_bio_simple():
+    tags = ["B-PER", "I-PER", "O", "B-ORG"]
+    assert sorted(bio_tags_to_spans(tags)) == [("ORG", (3, 3)), ("PER", (0, 1))]
+
+
+def test_bio_ill_formed_included_by_default():
+    # I- with no open span: included (reference includes ill-formed spans so
+    # precision can't be gamed)
+    tags = ["O", "I-PER", "I-PER", "O"]
+    assert bio_tags_to_spans(tags) == [("PER", (1, 2))]
+
+
+def test_bio_ill_formed_excluded():
+    tags = ["O", "I-PER", "I-PER", "O"]
+    assert bio_tags_to_spans(tags, include_ill_formed=False) == []
+
+
+def test_bio_label_switch_inside_i():
+    tags = ["B-PER", "I-ORG"]
+    assert sorted(bio_tags_to_spans(tags)) == [("ORG", (1, 1)), ("PER", (0, 0))]
+
+
+def test_bio_classes_to_ignore():
+    tags = ["B-PER", "I-PER", "B-MISC"]
+    assert bio_tags_to_spans(tags, classes_to_ignore=["MISC"]) == [("PER", (0, 1))]
+
+
+def test_bio_invalid_raises():
+    with pytest.raises(InvalidTagSequence):
+        bio_tags_to_spans(["X-PER"])
+
+
+def test_io_tags():
+    tags = ["I-PER", "I-PER", "O", "I-ORG"]
+    assert sorted(io_tags_to_spans(tags)) == [("ORG", (3, 3)), ("PER", (0, 1))]
+
+
+def test_bio_round_trip():
+    spans = [("PER", (0, 1)), ("ORG", (3, 3))]
+    tags = spans_to_bio_tags(spans, 5)
+    assert tags == ["B-PER", "I-PER", "O", "B-ORG", "O"]
+    assert sorted(bio_tags_to_spans(tags)) == sorted(spans)
+
+
+def test_spans_to_bio_overlap_returns_none():
+    assert spans_to_bio_tags([("A", (0, 2)), ("B", (2, 3))], 5) is None
+
+
+def test_overlap_and_containment():
+    assert has_overlap((0, 5), (4, 8))
+    assert not has_overlap((0, 4), (4, 8))  # end-exclusive
+    assert is_contained_in((2, 4), (0, 5))
+    assert not is_contained_in((2, 6), (0, 5))
+
+
+def test_span_distance_inner_outer():
+    # reference: re_text_classification_with_indices.py:702-728
+    assert span_distance((0, 5), (10, 12), "inner") == 5
+    assert span_distance((0, 5), (10, 12), "outer") == 12
+    assert span_distance((0, 5), (3, 8), "inner") == 0

@@ -1,0 +1,48 @@
+"""Window math contracts (mirrors reference tests/utils/test_window.py
+semantics for utils/window.py:4-68)."""
+
+from pytorch_ie_spark.functions.window import enumerate_windows, window_around_slice
+
+
+def test_enumerate_windows_no_overlap():
+    # 10 tokens, window 4: tiles of 4/4/2, each token labeled exactly once
+    ws = enumerate_windows(10, 4, 0)
+    assert ws == [((0, 4), (0, 4)), ((4, 8), (0, 4)), ((8, 10), (0, 2))]
+
+
+def test_enumerate_windows_with_overlap():
+    ws = enumerate_windows(12, 6, 2)
+    # label slices cover every position; the reference's end-of-sequence
+    # adjustment (window.py 'if token_end_idx == len') can label tail tokens
+    # in two windows — downstream dedup handles that, so the contract is
+    # full coverage, not exactly-once (matches reference behavior)
+    covered = []
+    for (ts, te), (ls, le) in ws:
+        covered.extend(range(ts + ls, ts + le))
+    assert set(covered) == set(range(12))
+    # interior windows carry `overlap` tokens of context
+    assert ws[1][0][0] < ws[0][0][1]
+
+
+def test_enumerate_windows_short_seq_single_window():
+    assert enumerate_windows(5, 128, 16) == [((0, 5), (0, 5))]
+
+
+def test_window_around_slice_centered():
+    assert window_around_slice((10, 12), 6, 100) == (8, 14)
+
+
+def test_window_around_slice_left_boundary():
+    assert window_around_slice((0, 2), 6, 100) == (0, 6)
+
+
+def test_window_around_slice_right_boundary():
+    assert window_around_slice((98, 100), 6, 100) == (94, 100)
+
+
+def test_window_around_slice_too_large_returns_none():
+    assert window_around_slice((0, 10), 6, 100) is None
+
+
+def test_window_around_slice_short_input():
+    assert window_around_slice((1, 3), 10, 4) == (0, 4)
