@@ -45,12 +45,19 @@ def token_ngrams(tokens: list[str], n: int = 3) -> list[str]:
 
 
 def minhash_signature(shingles: list[str], num_hashes: int = 16) -> list[str]:
-    """One lexicographic-min salted md5 per seed; empty input -> empty sig."""
+    """Lexicographic-min minhash; component 4s+j is the min over shingles of
+    the j-th 8-hex chunk of md5(f"{s}|" + shingle). Four components per md5
+    call (the chunks of one digest are independent enough for min-wise
+    hashing and it quarters the dominant md5 cost)."""
     if not shingles:
         return [""] * num_hashes
-    return [
-        min(md5_hex(f"{seed}|{sh}") for sh in shingles) for seed in range(num_hashes)
-    ]
+    out = []
+    for seed in range((num_hashes + 3) // 4):
+        digests = [md5_hex(f"{seed}|{sh}") for sh in shingles]
+        for j in range(4):
+            if len(out) < num_hashes:
+                out.append(min(d[j * 8 : (j + 1) * 8] for d in digests))
+    return out
 
 
 def lsh_band_keys(signature: list[str], band_size: int = 4) -> list[str]:

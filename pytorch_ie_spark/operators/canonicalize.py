@@ -47,18 +47,47 @@ def char_shingles_col(col, k: int = 3):
     )
 
 
-def minhash_signature_cols(shingle_col, num_hashes: int = 16):
-    """One lexicographic-min salted md5 per seed (portable MinHash family —
-    same values computable in DuckDB, see functions/hashing.py)."""
-    # NB: the lambda must be single-arg — a 2-arg lambda to F.transform is
-    # interpreted as (element, index), silently corrupting the salt
-    def salted_min(seed: int):
-        prefix = f"{seed}|"
-        return F.array_min(
-            F.transform(shingle_col, lambda x: F.md5(F.concat(F.lit(prefix), x)))
-        ).alias(f"mh{seed}")
+def _salted_digests(shingle_col, seed: int):
+    prefix = f"{seed}|"
+    return F.transform(shingle_col, lambda x: F.md5(F.concat(F.lit(prefix), x)))
 
-    return [salted_min(seed) for seed in range(num_hashes)]
+
+def _chunk_min(digest_col, j: int):
+    start = j * 8 + 1
+    return F.array_min(F.transform(digest_col, lambda d: F.substring(d, start, 8)))
+
+
+def minhash_signature_cols(shingle_col, num_hashes: int = 16):
+    """Portable MinHash family (functions/hashing.py semantics): component
+    4s+j = min over shingles of the j-th 8-hex chunk of md5('s|' + shingle).
+    One md5 pass per salt yields four components — 4x fewer digests on the
+    hot path, same values computable in DuckDB.
+
+    NB: every lambda here is single-arg — a 2-arg lambda to F.transform is
+    interpreted as (element, index), silently corrupting the salt."""
+    cols = []
+    for idx in range(num_hashes):
+        seed, j = divmod(idx, 4)
+        cols.append(
+            _chunk_min(_salted_digests(shingle_col, seed), j).alias(f"mh{idx}")
+        )
+    return cols
+
+
+def with_minhash_signature(df, shingle_col: str, num_hashes: int = 16):
+    """Two-phase signature: materialize one digest array per salt, then take
+    chunk-mins — guarantees each md5 pass is computed once per row even
+    though four signature components read it."""
+    n_salts = (num_hashes + 3) // 4
+    for s in range(n_salts):
+        df = df.withColumn(f"_dg{s}", _salted_digests(F.col(shingle_col), s))
+    cols = []
+    for idx in range(num_hashes):
+        seed, j = divmod(idx, 4)
+        cols.append(_chunk_min(F.col(f"_dg{seed}"), j).alias(f"mh{idx}"))
+    return df.select(
+        *[c for c in df.columns if not c.startswith("_dg")], *cols
+    )
 
 
 def link_entities(
@@ -92,18 +121,19 @@ def lsh_candidate_edges(
         .dropDuplicates(["node"])
         .withColumn("shingles", char_shingles_col(F.col("node"), shingle_k))
     )
-    sig = base.select("node", "shingles", *minhash_signature_cols(F.col("shingles"), num_hashes))
+    sig = with_minhash_signature(base, "shingles", num_hashes)
     bands = []
     for b in range(0, num_hashes, band_size):
         cols = [F.col(f"mh{i}") for i in range(b, min(b + band_size, num_hashes))]
         bands.append(
             F.concat_ws("|", F.lit(str(b)), *cols).alias(f"band{b // band_size}")
         )
-    with_bands = sig.select("node", "shingles", *bands)
+    with_bands = sig.select("node", *bands)
     n_bands = len(bands)
+    # narrow band shuffle: (node, band_key) only; shingles re-joined for the
+    # surviving pairs
     stacked = with_bands.select(
         "node",
-        "shingles",
         F.explode(
             F.array(*[F.col(f"band{i}") for i in range(n_bands)])
         ).alias("band_key"),
@@ -113,17 +143,17 @@ def lsh_candidate_edges(
     stacked = stacked.join(
         bucket_sizes.where(F.col("_bsz") <= max_bucket), "band_key"
     )
-    a = stacked.select(
-        "band_key", F.col("node").alias("src"), F.col("shingles").alias("src_sh")
-    )
-    b_ = stacked.select(
-        "band_key", F.col("node").alias("dst"), F.col("shingles").alias("dst_sh")
-    )
+    a = stacked.select("band_key", F.col("node").alias("src"))
+    b_ = stacked.select("band_key", F.col("node").alias("dst"))
     pairs = (
         a.join(b_, "band_key")
         .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
+    src_sh = base.select(F.col("node").alias("src"), F.col("shingles").alias("src_sh"))
+    dst_sh = base.select(F.col("node").alias("dst"), F.col("shingles").alias("dst_sh"))
+    pairs = pairs.join(src_sh, "src").join(dst_sh, "dst")
     inter = F.size(F.array_intersect(F.col("src_sh"), F.col("dst_sh")))
     union = F.size(F.col("src_sh")) + F.size(F.col("dst_sh")) - inter
     return (

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .canonicalize import char_shingles_col, minhash_signature_cols
+from .canonicalize import char_shingles_col, with_minhash_signature
 
 
 def normalize_text(col):
@@ -55,9 +55,7 @@ def minhash_lsh_pairs(
         F.col(id_col).cast("long").alias("doc_id"),
         char_shingles_col(normalize_text(F.col(text_col)), shingle_k).alias("shingles"),
     )
-    sig = base.select(
-        "doc_id", "shingles", *minhash_signature_cols(F.col("shingles"), num_hashes)
-    )
+    sig = with_minhash_signature(base, "shingles", num_hashes)
     n_bands = num_hashes // band_size
     band_cols = [
         F.concat_ws(
@@ -67,19 +65,27 @@ def minhash_lsh_pairs(
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
+    # shuffle only (doc_id, band_key) through the bucket join; the shingle
+    # arrays are joined back for the few surviving candidate pairs — at scale
+    # the band shuffle is the big one and must stay narrow
     stacked = sig.select(
-        "doc_id",
-        "shingles",
-        F.explode(F.array(*band_cols)).alias("band_key"),
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
     )
-    a = stacked.select("band_key", F.col("doc_id").alias("src_id"), F.col("shingles").alias("src_sh"))
-    b_ = stacked.select("band_key", F.col("doc_id").alias("dst_id"), F.col("shingles").alias("dst_sh"))
+    a = stacked.select("band_key", F.col("doc_id").alias("src_id"))
+    b_ = stacked.select("band_key", F.col("doc_id").alias("dst_id"))
     pairs = (
         a.join(b_, "band_key")
         .where(F.col("src_id") < F.col("dst_id"))
-        .select("src_id", "dst_id", "src_sh", "dst_sh")
+        .select("src_id", "dst_id")
         .dropDuplicates(["src_id", "dst_id"])
     )
+    src_sh = base.select(
+        F.col("doc_id").alias("src_id"), F.col("shingles").alias("src_sh")
+    )
+    dst_sh = base.select(
+        F.col("doc_id").alias("dst_id"), F.col("shingles").alias("dst_sh")
+    )
+    pairs = pairs.join(src_sh, "src_id").join(dst_sh, "dst_id")
     inter = F.size(F.array_intersect(F.col("src_sh"), F.col("dst_sh")))
     union = F.size(F.col("src_sh")) + F.size(F.col("dst_sh")) - inter
     return (

@@ -36,7 +36,8 @@ def register_model(name: str):
 
 
 def resolve_model(name: str, config: dict | None = None):
-    key = (name, tuple(sorted((config or {}).items())))
+    # repr-key: config values may be unhashable (nested dicts like gazetteers)
+    key = (name, repr(sorted((config or {}).items())))
     if key not in _MODEL_CACHE:
         _MODEL_CACHE[key] = _REGISTRY[name](**(config or {}))
     return _MODEL_CACHE[key]

@@ -34,7 +34,7 @@ from .operators.similarity import (
     embedding_near_duplicates,
     hyperplane_signature_cols,
 )
-from .operators.canonicalize import char_shingles_col, minhash_signature_cols
+from .operators.canonicalize import char_shingles_col, with_minhash_signature
 from .sources.readers import read_table
 from .streaming.sessions import sessionize
 
@@ -427,23 +427,27 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         char_shingles_col(normalize_text(F.col("text")), 5).alias("sh"),
     )
-    return base.select("doc_id", *minhash_signature_cols(F.col("sh"), 4))
+    return with_minhash_signature(base, "sh", 4).drop("sh")
 
 
+# chunk-based family: mh_{4s+j} = min over shingles of the j-th 8-hex chunk
+# of md5('s|' || shingle)
 MINHASH_SIG_ORACLE = """
 WITH base AS (
   SELECT doc_id::BIGINT AS doc_id,
-         list_distinct(list_transform(
-           generate_series(1, length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) - 4),
-           i -> substr(trim(regexp_replace(lower(text),'\\s+',' ','g')), i, 5))) AS sh
+         list_transform(
+           list_distinct(list_transform(
+             generate_series(1, length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) - 4),
+             i -> substr(trim(regexp_replace(lower(text),'\\s+',' ','g')), i, 5))),
+           x -> md5('0|' || x)) AS dg
   FROM documents
   WHERE length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) >= 5
 )
 SELECT doc_id,
-  list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
-  list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
-  list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
-  list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+  list_aggregate(list_transform(dg, d -> substr(d, 1, 8)), 'min') AS mh0,
+  list_aggregate(list_transform(dg, d -> substr(d, 9, 8)), 'min') AS mh1,
+  list_aggregate(list_transform(dg, d -> substr(d, 17, 8)), 'min') AS mh2,
+  list_aggregate(list_transform(dg, d -> substr(d, 25, 8)), 'min') AS mh3
 FROM base
 """
 
@@ -465,13 +469,14 @@ WITH base AS (
   FROM documents
   WHERE length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) >= 5
 ), sig AS (
+  -- band b = the four chunk-mins of salt b's digest (chunk minhash family)
   SELECT doc_id, sh,
     list_transform(generate_series(0, 3), b ->
-      CAST(b*4 AS VARCHAR) || '|' ||
-      list_aggregate(list_transform(sh, x -> md5(CAST(b*4   AS VARCHAR) || '|' || x)), 'min') || '|' ||
-      list_aggregate(list_transform(sh, x -> md5(CAST(b*4+1 AS VARCHAR) || '|' || x)), 'min') || '|' ||
-      list_aggregate(list_transform(sh, x -> md5(CAST(b*4+2 AS VARCHAR) || '|' || x)), 'min') || '|' ||
-      list_aggregate(list_transform(sh, x -> md5(CAST(b*4+3 AS VARCHAR) || '|' || x)), 'min')
+      CAST(b AS VARCHAR) || '|' ||
+      list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 1, 8)), 'min') || '|' ||
+      list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 9, 8)), 'min') || '|' ||
+      list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 17, 8)), 'min') || '|' ||
+      list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 25, 8)), 'min')
     ) AS bands
   FROM base
 ), stacked AS (
@@ -988,6 +993,74 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ------------------------------------------- pipeline-stage UDF queries
+
+def q_kg_mentions_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real pipeline NER stage (mapInPandas tokenize->window->infer->BIO
+    decode, operators/mentions.py) with the gazetteer model. On the synthetic
+    single-space corpus the regex tokenizer equals split-on-space, so the SQL
+    oracle for kg_mentions applies verbatim."""
+    from .operators.mentions import detect_mentions
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        F.lit("en").alias("lang"),
+        F.sha2("text", 256).alias("content_sha256"),
+    )
+    m = detect_mentions(
+        docs, model_name="gazetteer_ner", model_config={"gazetteer": GAZETTEER}
+    )
+    return m.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "surface",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "label",
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: payload -> sha256 -> deterministic features via
+    mapInPandas; exploded to scalar rows so the value-hash is stable."""
+    from .operators.multimodal import documents_as_media, extract_features
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    media = documents_as_media(docs, "image")
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "content_sha256",
+        F.posexplode("features").alias("dim", "value"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        "content_sha256",
+        F.col("dim").cast("long").alias("dim"),
+        "value",
+    )
+
+
+_hexpair = (
+    "((strpos('0123456789abcdef', substr(sha, 2*i+1, 1))-1)*16"
+    " + strpos('0123456789abcdef', substr(sha, 2*i+2, 1))-1)"
+)
+
+MULTIMODAL_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id::BIGINT AS media_id, sha256(text) AS sha,
+         strlen(text)::BIGINT AS n_bytes
+  FROM documents
+), dims AS (SELECT unnest(generate_series(0, 7)) AS i)
+SELECT media_id, n_bytes, sha AS content_sha256, i::BIGINT AS dim,
+       {_hexpair} / 256.0 AS value
+FROM f, dims
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES: dict[str, tuple] = {
@@ -1022,4 +1095,7 @@ QUERIES: dict[str, tuple] = {
     # events / sessionization
     "events_sessionize": (q_events_sessionize, SESSIONIZE_ORACLE),
     "events_windowed": (q_events_windowed, EVENTS_WINDOWED_ORACLE),
+    # pipeline-stage UDF paths under the same oracle gate
+    "kg_mentions_udf": (q_kg_mentions_udf, MENTIONS_ORACLE),
+    "multimodal_features": (q_multimodal_features, MULTIMODAL_ORACLE),
 }
