@@ -1,0 +1,87 @@
+"""Scaling-efficiency evidence (BASELINE.md): run the SAME triple-extraction
+job on the SAME input at two parallelism levels and report throughput.
+
+    SPARK_GRAFT_CPUS=8  python bench_scaling.py
+    SPARK_GRAFT_CPUS=32 python bench_scaling.py
+
+    efficiency = (throughput_32 / throughput_8) / 4
+
+The job is the KG extraction core (documents -> mentions -> relations ->
+triples), which is purely data-parallel; the input is the sf0.1 documents
+table deterministically replicated SPARK_GRAFT_SCALE times (default 8 ->
+40k docs) so compute dominates fixed driver overhead, the regime the
+north rule's 10^12-file target lives in. Canonicalization (driver-paced
+CC iterations) and checkpoint writes are excluded here and benchmarked in
+bench.py — they amortize at scale but would swamp a local measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scale = int(os.environ.get("SPARK_GRAFT_SCALE", "8"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from pyspark.sql import functions as F
+
+    from pytorch_ie_spark.operators.mentions import detect_mentions
+    from pytorch_ie_spark.operators.relations import extract_relations_cogrouped
+    from pytorch_ie_spark.operators.triples import dedupe_triples, relations_to_triples
+    from pytorch_ie_spark.session import get_spark
+    from pytorch_ie_spark.sources.readers import (
+        documents_from_source_files,
+        source_files_from_documents,
+    )
+
+    spark = get_spark(app_name="bench_scaling", cpus=cpus)
+
+    src = source_files_from_documents(spark, sf_dir)
+    replicated = src.crossJoin(
+        spark.range(scale).withColumnRenamed("id", "_rep")
+    ).select(
+        "repo",
+        F.concat_ws("-", "path", F.col("_rep").cast("string")).alias("path"),
+        "commit",
+        "lang",
+        "content",
+    )
+    documents = documents_from_source_files(replicated).repartition(cpus * 2)
+    n_docs = documents.count()  # materialize input sizing outside the timer
+
+    t0 = time.monotonic()
+    mentions = detect_mentions(
+        documents, model_name="gazetteer_ner", bucket_partitions=cpus * 2
+    ).localCheckpoint(eager=False)
+    relations = extract_relations_cogrouped(
+        documents, mentions, model_name="cooccurrence_re", max_distance=40
+    )
+    triples = dedupe_triples(relations_to_triples(relations, mentions))
+    n_triples = triples.count()
+    wall = time.monotonic() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "triples_per_sec",
+                "value": round(n_triples / wall, 2),
+                "unit": "triples/sec",
+                "cpus": cpus,
+                "scale_factor": scale,
+                "docs": n_docs,
+                "triples": n_triples,
+                "wall_s": round(wall, 2),
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -132,12 +132,14 @@ def lsh_candidate_edges(
     n_bands = len(bands)
     # narrow band shuffle: (node, band_key) only; shingles re-joined for the
     # surviving pairs
+    # materialize: referenced by bucket_sizes AND both self-join sides — the
+    # signature md5 passes must not be recomputed per reference
     stacked = with_bands.select(
         "node",
         F.explode(
             F.array(*[F.col(f"band{i}") for i in range(n_bands)])
         ).alias("band_key"),
-    )
+    ).localCheckpoint()
     # cap pathological buckets to avoid quadratic blowup on degenerate keys
     bucket_sizes = stacked.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bsz"))
     stacked = stacked.join(
@@ -163,15 +165,42 @@ def lsh_candidate_edges(
     )
 
 
+def _driver_side_components(spark, edge_rows) -> DataFrame:
+    """Union-find on the driver for small graphs — identical output contract
+    (component = min node label in the component)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edge_rows:
+        for n in (src, dst):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "node string, component string")
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 100_000
 ) -> DataFrame:
     """Min-label propagation over (src, dst) string edges -> (node, component).
 
-    Iterative DataFrame joins with convergence check; localCheckpoint each
-    round bounds lineage (SURVEY.md §7 M4 'CC iteration driver loop';
-    large-star/small-star is the published alternative — min-propagation
-    converges in O(diameter) rounds which is small for surface-form graphs).
+    Hybrid execution: equivalence graphs are usually tiny relative to the
+    corpus (distinct near-duplicate surface pairs), so below
+    `driver_threshold` edges we run union-find on the driver — one job
+    instead of O(diameter) iterative joins. Above it, distributed
+    min-propagation with a convergence check and localCheckpoint per round
+    (SURVEY.md §7 M4; large-star/small-star is the published alternative).
+    Both paths produce component = min node label, so results are identical.
     """
     und = (
         edges.select("src", "dst")
@@ -180,6 +209,12 @@ def connected_components(
         # otherwise re-run the full upstream lineage that produced the edges
         .localCheckpoint()
     )
+    spark = edges.sparkSession
+    small = und.limit(driver_threshold + 1).count() <= driver_threshold
+    if small:
+        return _driver_side_components(
+            spark, [(r["src"], r["dst"]) for r in und.collect()]
+        )
     nodes = und.select(F.col("src").alias("node")).dropDuplicates(["node"])
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
     for _ in range(max_iter):

@@ -47,15 +47,44 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     band_size: int = 4,
     jaccard_threshold: float = 0.5,
+    min_sig_matches: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (src_id < dst_id) verified by shingle
-    Jaccard. shingle -> minhash -> band -> bucket-join, the standard
-    web-dedup pipeline, expressed as DataFrame ops only."""
-    base = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        char_shingles_col(normalize_text(F.col(text_col)), shingle_k).alias("shingles"),
+    Jaccard. shingle -> minhash -> band -> bucket-join -> signature
+    pre-filter -> exact verify: the standard web-dedup pipeline, DataFrame
+    ops only.
+
+    The pre-filter drops band-collision pairs whose full signatures agree on
+    fewer than `min_sig_matches` of `num_hashes` components (default
+    num_hashes/4, i.e. estimated jaccard well under threshold) BEFORE the
+    exact verification joins the shingle arrays back: at scale, shuffling
+    shingle arrays for false-positive pairs is the dominant cost. Identical
+    docs match all components, so exact-dup recall is unaffected."""
+    from ..plans.skew import ensure_parallelism
+
+    if min_sig_matches is None:
+        min_sig_matches = max(1, num_hashes // 4)
+    # materialize the shingle table: Catalyst's CollapseProject treats
+    # transform() lambdas as cheap and would otherwise inline the shingle
+    # expression into every salt's digest pass (multiplicative recompute)
+    base = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            char_shingles_col(
+                normalize_text(F.col(text_col)), shingle_k
+            ).alias("shingles"),
+        )
+        .localCheckpoint(eager=False)
     )
-    sig = with_minhash_signature(base, "shingles", num_hashes)
+    mh_names = [f"mh{i}" for i in range(num_hashes)]
+    # materialize signatures once: referenced by the band explode AND both
+    # sides of the pre-filter join
+    sig = (
+        with_minhash_signature(base, "shingles", num_hashes)
+        .select("doc_id", *mh_names)
+        .localCheckpoint()
+    )
     n_bands = num_hashes // band_size
     band_cols = [
         F.concat_ws(
@@ -65,9 +94,7 @@ def minhash_lsh_pairs(
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    # shuffle only (doc_id, band_key) through the bucket join; the shingle
-    # arrays are joined back for the few surviving candidate pairs — at scale
-    # the band shuffle is the big one and must stay narrow
+    # shuffle only (doc_id, band_key) through the bucket join
     stacked = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
     )
@@ -79,17 +106,36 @@ def minhash_lsh_pairs(
         .select("src_id", "dst_id")
         .dropDuplicates(["src_id", "dst_id"])
     )
+    # signature pre-filter: 16 short strings per side instead of shingle arrays
+    src_sig = sig.select(
+        F.col("doc_id").alias("src_id"),
+        *[F.col(m).alias(f"s_{m}") for m in mh_names],
+    )
+    dst_sig = sig.select(
+        F.col("doc_id").alias("dst_id"),
+        *[F.col(m).alias(f"d_{m}") for m in mh_names],
+    )
+    with_sigs = pairs.join(src_sig, "src_id").join(dst_sig, "dst_id")
+    matches = None
+    for m in mh_names:
+        term = F.when(F.col(f"s_{m}") == F.col(f"d_{m}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    prefiltered = (
+        with_sigs.withColumn("_sig_matches", matches)
+        .where(F.col("_sig_matches") >= min_sig_matches)
+        .select("src_id", "dst_id")
+    )
     src_sh = base.select(
         F.col("doc_id").alias("src_id"), F.col("shingles").alias("src_sh")
     )
     dst_sh = base.select(
         F.col("doc_id").alias("dst_id"), F.col("shingles").alias("dst_sh")
     )
-    pairs = pairs.join(src_sh, "src_id").join(dst_sh, "dst_id")
+    verified = prefiltered.join(src_sh, "src_id").join(dst_sh, "dst_id")
     inter = F.size(F.array_intersect(F.col("src_sh"), F.col("dst_sh")))
     union = F.size(F.col("src_sh")) + F.size(F.col("dst_sh")) - inter
     return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("src_id", "dst_id", "jaccard")
     )

@@ -72,17 +72,25 @@ def run_kg_pipeline(
         docs = size_bucketed(docs, F.length("text"), cfg.size_bucket_width)
         return docs
 
-    documents = stage("documents", build_documents)
+    def once(df: DataFrame) -> DataFrame:
+        # without a ckpt_dir nothing materializes stages, and downstream
+        # references (relations + canonicalization + both triple joins) would
+        # re-run the NER UDF per reference — pin each stage exactly once
+        return df if ckpt_dir else df.localCheckpoint(eager=False)
 
-    mentions = stage(
-        "mentions",
-        lambda: detect_mentions(
-            documents,
-            model_name=cfg.ner_model,
-            model_config=cfg.ner_model_config,
-            max_window=cfg.max_window,
-            window_overlap=cfg.window_overlap,
-        ),
+    documents = once(stage("documents", build_documents))
+
+    mentions = once(
+        stage(
+            "mentions",
+            lambda: detect_mentions(
+                documents,
+                model_name=cfg.ner_model,
+                model_config=cfg.ner_model_config,
+                max_window=cfg.max_window,
+                window_overlap=cfg.window_overlap,
+            ),
+        )
     )
 
     def build_relations() -> DataFrame:
@@ -105,7 +113,7 @@ def run_kg_pipeline(
             none_label=cfg.none_label,
         )
 
-    relations = stage("relations", build_relations)
+    relations = once(stage("relations", build_relations))
 
     def build_triples() -> DataFrame:
         entity_map = None

@@ -54,6 +54,17 @@ def size_bucketed(
     return out.drop("_size_bucket")
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition only when the input is under-partitioned (e.g. a local
+    single-row-group parquet file scanning as ONE task before a hash-heavy
+    projection). On a real cluster the scan already yields thousands of
+    partitions and this is a no-op — no gratuitous 100 TB shuffle."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
     """Diagnostic: heaviest keys with their share of total rows."""
     total = df.count()

@@ -469,28 +469,37 @@ WITH base AS (
   FROM documents
   WHERE length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) >= 5
 ), sig AS (
-  -- band b = the four chunk-mins of salt b's digest (chunk minhash family)
+  -- chunk minhash family: component 4s+j = min j-th 8-hex chunk of salt s
   SELECT doc_id, sh,
-    list_transform(generate_series(0, 3), b ->
-      CAST(b AS VARCHAR) || '|' ||
-      list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 1, 8)), 'min') || '|' ||
-      list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 9, 8)), 'min') || '|' ||
-      list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 17, 8)), 'min') || '|' ||
+    flatten(list_transform(generate_series(0, 3), b -> [
+      list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 1, 8)), 'min'),
+      list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 9, 8)), 'min'),
+      list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 17, 8)), 'min'),
       list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 25, 8)), 'min')
-    ) AS bands
+    ])) AS mhs
   FROM base
 ), stacked AS (
-  SELECT doc_id, sh, unnest(bands) AS band_key FROM sig
+  SELECT doc_id, sh, mhs,
+         unnest(list_transform(generate_series(0, 3), b ->
+           CAST(b AS VARCHAR) || '|' || mhs[b*4+1] || '|' || mhs[b*4+2]
+           || '|' || mhs[b*4+3] || '|' || mhs[b*4+4])) AS band_key
+  FROM sig
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id,
+         a.mhs AS src_mhs, b.mhs AS dst_mhs,
          a.sh AS src_sh, b.sh AS dst_sh
   FROM stacked a JOIN stacked b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+), pre AS (
+  -- signature pre-filter mirroring minhash_lsh_pairs min_sig_matches=4
+  SELECT * FROM pairs
+  WHERE list_sum(list_transform(generate_series(1, 16),
+        i -> CASE WHEN src_mhs[i] = dst_mhs[i] THEN 1 ELSE 0 END)) >= 4
 )
 SELECT src_id, dst_id,
   round(length(list_intersect(src_sh, dst_sh))::DOUBLE
         / (length(src_sh) + length(dst_sh) - length(list_intersect(src_sh, dst_sh))), 6) AS jaccard
-FROM pairs
+FROM pre
 WHERE length(list_intersect(src_sh, dst_sh))::DOUBLE
       / (length(src_sh) + length(dst_sh) - length(list_intersect(src_sh, dst_sh))) >= 0.5
 """
@@ -993,6 +1002,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_kg_relation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation statistics pivot (reference: taskmodules/common/mixins.py
+    :210-297 renders counters as a pandas pivot): per head_label, one column
+    per relation label with candidate counts + a total."""
+    rels = _relations_df(spark, sf_dir, MAX_REL_DISTANCE)
+    labels = sorted(set(RELATION_RULES.values()))
+    return (
+        rels.groupBy("head_surface")
+        .pivot("label", labels)
+        .count()
+        .na.fill(0, labels)
+        .select(
+            "head_surface",
+            *[F.col(l).cast("long").alias(l.replace(":", "_")) for l in labels],
+        )
+        .withColumn(
+            "total",
+            sum(F.col(l.replace(":", "_")) for l in labels).cast("long"),
+        )
+    )
+
+
+_stats_cols = ",\n  ".join(
+    f"sum(CASE WHEN label = '{l}' THEN 1 ELSE 0 END)::BIGINT AS {l.replace(':', '_')}"
+    for l in sorted(set(RELATION_RULES.values()))
+)
+
+RELATION_STATS_ORACLE = f"""
+WITH rels AS ({_relations_oracle(MAX_REL_DISTANCE)})
+SELECT head_surface,
+  {_stats_cols},
+  count(*)::BIGINT AS total
+FROM rels GROUP BY 1
+"""
+
+
 # ------------------------------------------- pipeline-stage UDF queries
 
 def q_kg_mentions_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,6 +1117,7 @@ QUERIES: dict[str, tuple] = {
     "kg_entity_linking": (q_kg_entity_linking, ENTITY_LINKING_ORACLE),
     "kg_connected_components": (q_kg_connected_components, CC_ORACLE),
     "kg_pr_metrics": (q_kg_pr_metrics, PR_METRICS_ORACLE),
+    "kg_relation_stats": (q_kg_relation_stats, RELATION_STATS_ORACLE),
     # dedup family
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_minhash_signatures": (q_dedup_minhash_signatures, MINHASH_SIG_ORACLE),
