@@ -1106,6 +1106,122 @@ FROM f, dims
 """
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (get_json_object) + bucketed aggregation —
+    the metadata map of the document model is a JSON column at rest
+    (SURVEY.md §1.4)."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type", (F.col("k") / 10).cast("long").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+EVENTS_JSON_ORACLE = """
+WITH e AS (
+  SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events
+)
+SELECT event_type, floor(k / 10)::BIGINT AS k_bucket, count(*)::BIGINT AS n,
+       min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+FROM e WHERE k IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): groupBy-HAVING subquery
+    feeding a 3-way join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_money(F.col("l_quantity"))).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey").cast("long"),
+            F.col("o_orderkey").cast("long"),
+            F.col("total_qty").cast("double"),
+        )
+    )
+
+
+BIG_ORDERS_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) > 250
+)
+SELECT c_custkey::BIGINT AS c_custkey, o_orderkey::BIGINT AS o_orderkey,
+       total_qty::DOUBLE AS total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_kg_triples_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully fused single-pass extractor (operators/extract.py) under the
+    oracle gate: aggregated (subj, pred, obj, n) counts. Pairs are enumerated
+    in BOTH directions (reversed relations), bounded by inner distance."""
+    from .operators.extract import extract_triples_fused
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        F.sha2("text", 256).alias("content_sha256"),
+    )
+    raw = extract_triples_fused(
+        docs,
+        ner_model="gazetteer_ner",
+        ner_config={"gazetteer": GAZETTEER},
+        re_model="cooccurrence_re",
+        max_distance=MAX_REL_DISTANCE,
+    )
+    return raw.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+TRIPLES_FUSED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS surface,
+         generate_subscripts(string_split(text,' '), 1) AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id::BIGINT AS doc_id, surface,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+), mentions AS (
+  SELECT doc_id, surface, start, start + length(surface) AS fin,
+         {_gaz_case_sql()} AS label
+  FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), pairs AS (
+  SELECT h.surface AS subj, t.surface AS obj,
+         {_rule_case_sql("h.label", "t.label")} AS pred
+  FROM mentions h JOIN mentions t
+    ON h.doc_id = t.doc_id
+   AND NOT (h.start = t.start AND h.label = t.label)
+   AND greatest(0, greatest(h.start, t.start) - least(h.fin, t.fin))
+       <= {MAX_REL_DISTANCE}
+)
+SELECT subj, pred, obj, count(*)::BIGINT AS n
+FROM pairs WHERE pred IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES: dict[str, tuple] = {
@@ -1143,5 +1259,9 @@ QUERIES: dict[str, tuple] = {
     "events_windowed": (q_events_windowed, EVENTS_WINDOWED_ORACLE),
     # pipeline-stage UDF paths under the same oracle gate
     "kg_mentions_udf": (q_kg_mentions_udf, MENTIONS_ORACLE),
+    "kg_triples_fused": (q_kg_triples_fused, TRIPLES_FUSED_ORACLE),
     "multimodal_features": (q_multimodal_features, MULTIMODAL_ORACLE),
+    # JSON scalar functions + agg-over-subquery
+    "events_json_props": (q_events_json_props, EVENTS_JSON_ORACLE),
+    "tpch_big_orders": (q_tpch_big_orders, BIG_ORDERS_ORACLE),
 }

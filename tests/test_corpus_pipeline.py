@@ -102,6 +102,26 @@ def test_fused_equals_modular_relations(spark, pipeline_outputs):
     assert a == b
 
 
+def test_fused_extract_equals_staged(spark, pipeline_outputs):
+    """The single-pass fused extractor must emit the same triples as the
+    staged mentions->candidates->relations->triples chain."""
+    from pytorch_ie_spark.operators.extract import extract_triples_fused, fused_triples
+    from pytorch_ie_spark.operators.triples import dedupe_triples, relations_to_triples
+
+    docs, mentions, relations = pipeline_outputs
+    fused = fused_triples(
+        extract_triples_fused(
+            docs, ner_model="rule_ner", re_model="rule_re", max_distance=200
+        )
+    )
+    staged = dedupe_triples(relations_to_triples(relations, mentions))
+    key = ["doc_id", "subj", "pred", "obj"]
+    a = sorted(map(tuple, fused.select(*key).collect()))
+    b = sorted(map(tuple, staged.select(*key).collect()))
+    assert a == b
+    assert len(a) == 13
+
+
 def test_full_pipeline_triples(spark, tmp_path):
     src = fixture_source_files(spark)
     triples = run_kg_pipeline(
