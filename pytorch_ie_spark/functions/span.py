@@ -112,6 +112,107 @@ def spans_to_bio_tags(
     return tags
 
 
+def bio_encode_int(
+    spans: list[tuple[str, tuple[int, int]]],
+    length: int,
+    label_to_id: dict[str, int],
+) -> list[int]:
+    """Integer BIO encoding: O=0, B-label=2*id+1, I-label=2*id+2
+    (reference: re_text_classification_with_indices.py:279-290)."""
+    out = [0] * length
+    for label, (s, e) in spans:
+        lid = label_to_id[label]
+        out[s] = lid * 2 + 1
+        for i in range(s + 1, e + 1):
+            out[i] = lid * 2 + 2
+    return out
+
+
+def combine_span_score(token_scores: list[float], mode: str = "mean") -> float:
+    """Combine per-token probabilities into one span score: mean/max/min/
+    product (reference:
+    labeled_span_extraction_by_token_classification.py:374-389)."""
+    if not token_scores:
+        return 0.0
+    if mode == "mean":
+        return sum(token_scores) / len(token_scores)
+    if mode == "max":
+        return max(token_scores)
+    if mode == "min":
+        return min(token_scores)
+    if mode == "product":
+        out = 1.0
+        for s in token_scores:
+            out *= s
+        return out
+    raise ValueError(f"unknown span score combination mode: {mode}")
+
+
+def majority_label(labels: list[str]) -> str:
+    """Most-common label with first-seen tie-break (reference decode vote:
+    pointer_network_for_end2end_re.py:598-606, Counter.most_common)."""
+    counts: dict[str, int] = {}
+    for lab in labels:
+        counts[lab] = counts.get(lab, 0) + 1
+    best = labels[0]
+    for lab in labels:
+        if counts[lab] > counts[best]:
+            best = lab
+    return best
+
+
+def find_sublist(haystack: list, needle: list) -> int:
+    """First index of `needle` inside `haystack`, -1 if absent (reference:
+    re_text_classification_with_indices.py:119-132 — locating the rebuilt
+    special-token prefix)."""
+    if not needle:
+        return 0
+    n, m = len(haystack), len(needle)
+    for i in range(n - m + 1):
+        if haystack[i : i + m] == needle:
+            return i
+    return -1
+
+
+def insert_markers(
+    tokens: list[str],
+    head: tuple[int, int],
+    tail: tuple[int, int],
+    head_labels: tuple[str, str] = ("[H]", "[/H]"),
+    tail_labels: tuple[str, str] = ("[T]", "[/T]"),
+) -> tuple[list[str], tuple[int, int], tuple[int, int]]:
+    """Insert argument markers around the head/tail token slices (inclusive
+    token spans), returning the new token list and the shifted spans —
+    markers inserted in ascending position with a running offset
+    (reference: re_text_classification_with_indices.py:1119-1140)."""
+    inserts = sorted(
+        [
+            (head[0], head_labels[0], "h_start"),
+            (head[1] + 1, head_labels[1], "h_end"),
+            (tail[0], tail_labels[0], "t_start"),
+            (tail[1] + 1, tail_labels[1], "t_end"),
+        ],
+        key=lambda x: x[0],
+    )
+    out = list(tokens)
+    shifted = {"h_start": head[0], "h_end": head[1], "t_start": tail[0], "t_end": tail[1]}
+    offset = 0
+    for pos, marker, kind in inserts:
+        at = pos + offset
+        out.insert(at, marker)
+        # span content sits right after an opening marker / right before a
+        # closing one; later inserts land at strictly later positions, so
+        # these indices are final once computed
+        if kind in ("h_start", "t_start"):
+            shifted[kind] = at + 1
+        else:
+            shifted[kind] = at - 1
+        offset += 1
+    new_head = (shifted["h_start"], shifted["h_end"])
+    new_tail = (shifted["t_start"], shifted["t_end"])
+    return out, new_head, new_tail
+
+
 def has_overlap(a: tuple[int, int], b: tuple[int, int]) -> bool:
     """End-exclusive interval overlap (pie_documents.utils.span.have_overlap)."""
     return a[0] < b[1] and b[0] < a[1]

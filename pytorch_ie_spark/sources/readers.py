@@ -61,6 +61,113 @@ def documents_from_source_files(source_files: DataFrame) -> DataFrame:
     )
 
 
+ANNOTATED_JSON_SCHEMA = (
+    "data array<struct<"
+    "id:string, text:string, "
+    "sentences:array<struct<start:int,`end`:int>>, "
+    "entities:array<struct<start:int,`end`:int,label:string>>, "
+    "relations:array<struct<head:int,tail:int,label:string>>, "
+    "metadata:map<string,string>>>"
+)
+
+
+def read_annotated_json_corpus(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """JSON document source in the reference fixture format
+    ({"data": [{id, text, sentences, entities, relations, metadata}]},
+    tests/conftest.py:22-55) -> (documents, mentions, relations) DataFrames.
+
+    relations.head/tail are indices into the entities array
+    (tests/conftest.py:31-33); they are resolved to stable mention ids with
+    posexplode + join-free index lookup (element_at on the exploded layer).
+    """
+    raw = (
+        spark.read.option("multiLine", "true")
+        .schema(ANNOTATED_JSON_SCHEMA)
+        .json(path)
+        .select(F.explode("data").alias("d"))
+        .select("d.*")
+    )
+    documents = raw.select(
+        F.col("id").alias("doc_id"),
+        "text",
+        F.lit("en").alias("lang"),
+        F.sha2("text", 256).alias("content_sha256"),
+        F.col("sentences").cast("array<struct<start:int,end:int>>").alias("sentences"),
+    )
+    # mention_id = sha256(doc|start|end|label)[:32] (functions/hashing.py)
+    mid = lambda s, e, lab: F.substring(  # noqa: E731
+        F.sha2(
+            F.concat_ws(
+                "|", F.col("doc_id"), s.cast("string"), e.cast("string"), lab
+            ),
+            256,
+        ),
+        1,
+        32,
+    )
+    ents = raw.select(
+        F.col("id").alias("doc_id"),
+        "text",
+        F.sha2("text", 256).alias("content_sha256"),
+        F.posexplode("entities").alias("ent_idx", "ent"),
+    )
+    mentions = ents.select(
+        "doc_id",
+        mid(F.col("ent.start"), F.col("ent.end"), F.col("ent.label")).alias(
+            "mention_id"
+        ),
+        F.col("ent.start").alias("start"),
+        F.col("ent.end").alias("end"),
+        F.col("ent.label").alias("label"),
+        F.expr("substring(text, ent.start + 1, ent.end - ent.start)").alias(
+            "surface"
+        ),
+        F.lit(1.0).alias("score"),
+        F.lit("gold").alias("source"),
+        "content_sha256",
+    )
+    rels = raw.select(
+        F.col("id").alias("doc_id"),
+        F.sha2("text", 256).alias("content_sha256"),
+        F.col("entities"),
+        F.explode("relations").alias("rel"),
+    )
+    rel_arg = lambda idx_col: F.element_at(  # noqa: E731
+        F.col("entities"), idx_col + 1
+    )
+    relations = rels.select(
+        "doc_id",
+        mid(
+            rel_arg(F.col("rel.head"))["start"],
+            rel_arg(F.col("rel.head"))["end"],
+            rel_arg(F.col("rel.head"))["label"],
+        ).alias("head_mention_id"),
+        mid(
+            rel_arg(F.col("rel.tail"))["start"],
+            rel_arg(F.col("rel.tail"))["end"],
+            rel_arg(F.col("rel.tail"))["label"],
+        ).alias("tail_mention_id"),
+        F.col("rel.label").alias("label"),
+        F.lit(1.0).alias("score"),
+        F.lit("gold").alias("source"),
+        "content_sha256",
+    )
+    return documents, mentions, relations
+
+
+def as_type(df: DataFrame, field_mapping: dict[str, str]) -> DataFrame:
+    """Document-type conversion: rename/select layers into canonical names
+    (reference document.as_type(field_mapping=...),
+    labeled_span_extraction_by_token_classification.py:180-206). Columns not
+    mentioned pass through unchanged."""
+    out = df
+    for src, dst in field_mapping.items():
+        out = out.withColumnRenamed(src, dst)
+    return out
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:
