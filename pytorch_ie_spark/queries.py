@@ -163,7 +163,9 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _relations_df(spark: SparkSession, sf_dir: str, max_distance: int) -> DataFrame:
+def _relations_df(
+    spark: SparkSession, sf_dir: str, max_distance: int, keep_distance: bool = False
+) -> DataFrame:
     """Directed co-occurrence relations via the candidate-pair operator."""
     from .functions.hashing import mention_id as _mid  # noqa: F401 (doc parity)
 
@@ -183,14 +185,17 @@ def _relations_df(spark: SparkSession, sf_dir: str, max_distance: int) -> DataFr
     labeled = directed.withColumn("label", _rule_label_col()).where(
         F.col("label").isNotNull()
     )
-    return labeled.select(
+    cols = [
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("head_start").cast("long").alias("head_start"),
         F.col("head_surface"),
         F.col("tail_start").cast("long").alias("tail_start"),
         F.col("tail_surface"),
-        "label",
-    )
+        F.col("label"),
+    ]
+    if keep_distance:
+        cols.append(F.col("distance").cast("long").alias("distance"))
+    return labeled.select(*cols)
 
 
 def _relations_oracle(max_distance: int) -> str:
@@ -225,6 +230,12 @@ SELECT doc_id, head_start, head_surface, tail_start, tail_surface,
 FROM pairs
 WHERE {_rule_case_sql()} IS NOT NULL
 """
+
+
+def _relations_with_distance_df(
+    spark: SparkSession, sf_dir: str, max_distance: int
+) -> DataFrame:
+    return _relations_df(spark, sf_dir, max_distance, keep_distance=True)
 
 
 def q_kg_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,9 +362,12 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 
 def q_kg_pr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P/R/F1 machinery check: 'pred' = distance<=20 relations vs 'gold' =
-    distance<=40 (perfect precision, partial recall by construction)."""
-    gold = _relations_df(spark, sf_dir, 40)
-    pred = _relations_df(spark, sf_dir, 20)
+    distance<=40 (perfect precision, partial recall by construction).
+    Both sides derive from ONE materialized distance-annotated pair table —
+    recomputing the mention chain per side doubled the bench cost."""
+    base = _relations_with_distance_df(spark, sf_dir, 40).localCheckpoint()
+    gold = base.drop("distance")
+    pred = base.where(F.col("distance") <= 20).drop("distance")
     key = ["doc_id", "head_start", "tail_start", "label"]
     out = pr_f1(gold, pred, key_cols=key, label_col="label")
     return out.select(
@@ -422,10 +436,17 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.skew import ensure_parallelism
+
     docs = read_table(spark, sf_dir, "documents")
-    base = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        char_shingles_col(normalize_text(F.col("text")), 5).alias("sh"),
+    base = (
+        ensure_parallelism(docs)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            char_shingles_col(normalize_text(F.col("text")), 5).alias("sh"),
+        )
+        # pin: chunk-min projections must not re-inline the shingle pass
+        .localCheckpoint(eager=False)
     )
     return with_minhash_signature(base, "sh", 4).drop("sh")
 

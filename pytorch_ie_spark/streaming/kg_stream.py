@@ -1,0 +1,69 @@
+"""Streaming KG extraction: continuously ingest source-file batches and
+append triples.
+
+The fused extractor (operators/extract.py) is a stateless mapInPandas
+transform, so it lifts onto Structured Streaming unchanged: file source ->
+extract -> append sink. Dedup across the stream is the sink's job (Iceberg
+MERGE at scale; in tests, a memory sink checked against the batch result).
+
+This is an engine extension — the reference is batch-only (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.extract import extract_triples_fused
+from ..sources.readers import documents_from_source_files
+
+SOURCE_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def stream_kg_triples(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "kg_triples_stream",
+    ner_model: str = "gazetteer_ner",
+    re_model: str = "cooccurrence_re",
+    max_distance: int = 40,
+    output_path: str | None = None,
+    max_files_per_trigger: int = 4,
+):
+    """parquet file-stream of source rows -> triple rows, append mode.
+
+    With `output_path` the sink is partitioned parquet (Iceberg-layout);
+    otherwise an in-memory table named `query_name` (tests)."""
+    stream_src = (
+        spark.readStream.schema(SOURCE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    documents = documents_from_source_files(stream_src)
+    triples = extract_triples_fused(
+        documents,
+        ner_model=ner_model,
+        re_model=re_model,
+        max_distance=max_distance,
+    )
+    writer = (
+        triples.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if output_path:
+        writer = writer.format("parquet").option("path", output_path).partitionBy(
+            "pred"
+        )
+    else:
+        writer = writer.format("memory")
+    return writer.start()
+
+
+def batch_kg_triples(spark: SparkSession, source_dir: str, **kwargs) -> DataFrame:
+    """The same transformation in batch — used to verify stream==batch."""
+    src = spark.read.schema(SOURCE_SCHEMA).parquet(source_dir)
+    documents = documents_from_source_files(src)
+    return extract_triples_fused(documents, **kwargs)
