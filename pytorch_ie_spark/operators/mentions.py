@@ -128,29 +128,36 @@ def infer_mentions(
             batch_tokens = [list(t) for t in pdf["tokens"]]
             tags_batch = model.predict_tags(batch_tokens)
             rows = []
-            for (_, row), tags in zip(pdf.iterrows(), tags_batch):
-                ls, le = row["label_offset_start"], row["label_offset_end"]
+            # column zips, not iterrows() — row-wise pandas iteration is the
+            # slow path inside an otherwise Arrow-vectorized stage
+            for doc_id, tokens, starts, ends, ls, le, sha, tags in zip(
+                pdf["doc_id"],
+                batch_tokens,
+                pdf["token_starts"],
+                pdf["token_ends"],
+                pdf["label_offset_start"],
+                pdf["label_offset_end"],
+                pdf["content_sha256"],
+                tags_batch,
+            ):
                 # restrict decoding to the label slice: mask context tokens
                 masked = [
                     tag if ls <= i < le else "O" for i, tag in enumerate(tags)
                 ]
-                starts = list(row["token_starts"])
-                ends = list(row["token_ends"])
-                text_tokens = list(row["tokens"])
                 for label, (s_tok, e_tok) in bio_tags_to_spans(masked):
-                    cs, ce = starts[s_tok], ends[e_tok]
-                    surface = " ".join(text_tokens[s_tok : e_tok + 1])
+                    cs, ce = int(starts[s_tok]), int(ends[e_tok])
+                    surface = " ".join(tokens[s_tok : e_tok + 1])
                     rows.append(
                         (
-                            row["doc_id"],
-                            mention_id(row["doc_id"], cs, ce, label),
+                            doc_id,
+                            mention_id(doc_id, cs, ce, label),
                             cs,
                             ce,
                             label,
                             surface,
                             1.0,
                             "pred",
-                            row["content_sha256"],
+                            sha,
                         )
                     )
             yield pd.DataFrame(
