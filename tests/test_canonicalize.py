@@ -53,6 +53,25 @@ def test_connected_components_chain_and_island(spark):
     assert comps == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_connected_components_distributed_path_matches_driver(spark):
+    """Force the distributed min-propagation branch (driver_threshold=0) and
+    assert identical components to the driver-side union-find."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("m", "n"), ("n", "m")],
+        "src string, dst string",
+    )
+    distributed = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    driver = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_threshold=10**6).collect()
+    }
+    assert distributed == driver
+    assert distributed["d"] == "a" and distributed["y"] == "x" and distributed["n"] == "m"
+
+
 def test_canonicalize_mentions_end_to_end(spark):
     m = _mentions(
         spark, ["IndieBio", "indiebio", "IndieBio  Inc", "Globex", "Entity A"]

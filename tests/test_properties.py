@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the pure-function core — mirrors
+the reference's round-trip test family (SURVEY.md §5 layer 3)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pytorch_ie_spark.functions.span import (
+    bio_tags_to_spans,
+    spans_to_bio_tags,
+)
+from pytorch_ie_spark.functions.tokenize import (
+    char_span_to_token_span,
+    token_span_to_char_span,
+    tokenize_with_offsets,
+)
+from pytorch_ie_spark.functions.window import enumerate_windows
+from pytorch_ie_spark.functions.seq2seq import linearize_triplets, parse_triplets
+
+
+@st.composite
+def non_overlapping_spans(draw):
+    n = draw(st.integers(min_value=0, max_value=5))
+    length = draw(st.integers(min_value=max(1, 2 * n), max_value=40))
+    positions = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=0, max_value=length - 1),
+                min_size=2 * n,
+                max_size=2 * n,
+                unique=True,
+            )
+        )
+    )
+    labels = draw(
+        st.lists(
+            st.sampled_from(["PER", "ORG", "MISC"]), min_size=n, max_size=n
+        )
+    )
+    spans = [
+        (labels[i], (positions[2 * i], positions[2 * i + 1])) for i in range(n)
+    ]
+    return spans, length
+
+
+@given(non_overlapping_spans())
+@settings(max_examples=200, deadline=None)
+def test_bio_round_trip_property(case):
+    spans, length = case
+    tags = spans_to_bio_tags(spans, length)
+    assert tags is not None
+    assert sorted(bio_tags_to_spans(tags)) == sorted(spans)
+
+
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=2, max_value=64),
+    st.integers(min_value=0, max_value=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_window_coverage_property(seq_len, max_size, overlap):
+    if max_size <= 2 * overlap:
+        return
+    ws = enumerate_windows(seq_len, max_size, overlap)
+    covered = set()
+    for (ts, te), (ls, le) in ws:
+        assert 0 <= ts <= te <= seq_len
+        assert te - ts <= max_size
+        covered.update(range(ts + ls, ts + le))
+    assert covered == set(range(seq_len))
+
+
+@given(st.text(alphabet=" abcXYZ.,!德языки", max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_tokenize_offsets_property(text):
+    toks = tokenize_with_offsets(text)
+    for tok, s, e in toks:
+        assert text[s:e] == tok
+    # offsets strictly increase and never overlap
+    for (_, _, e1), (_, s2, _) in zip(toks, toks[1:]):
+        assert e1 <= s2
+
+
+@given(st.text(alphabet="ab c.", min_size=1, max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_char_token_alignment_round_trip(text):
+    toks = tokenize_with_offsets(text)
+    if not toks:
+        return
+    starts = [t[1] for t in toks]
+    ends = [t[2] for t in toks]
+    for i, (tok, s, e) in enumerate(toks):
+        got = char_span_to_token_span(starts, ends, s, e)
+        assert got == (i, i + 1)
+        assert token_span_to_char_span(starts, ends, i, i + 1) == (s, e)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcABC", min_size=1, max_size=8),
+            st.text(alphabet="abcABC", min_size=1, max_size=8),
+            st.text(alphabet="abc:_", min_size=1, max_size=10),
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_seq2seq_round_trip_property(triples):
+    s = linearize_triplets(triples)
+    assert parse_triplets(s) == triples
