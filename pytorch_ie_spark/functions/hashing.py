@@ -5,15 +5,36 @@ computable in Spark SQL (``md5()``), DuckDB (``md5()``), and Python
 (``hashlib.md5``) — which is what lets every dedup/canonicalization
 operator have a bit-exact SQL oracle.
 
-MinHash here uses the "lexicographic min of salted md5 hex" trick: for seed
-s, the signature component is ``min over shingles of md5(s || '|' || sh)``
-compared as a string. That is a valid min-wise permutation family and is
-portable across engines (no 64-bit integer overflow semantics to match).
+MinHash uses the universal-hash family over ONE md5 base hash per shingle:
+``base(x) = int(md5(x)[:8], 16)`` (32-bit), component
+``mh_i = min over shingles of (a_i * base + b_i) mod P`` with P the smallest
+prime above 2^32 — the same construction Spark MLlib's MinHashLSH uses. One
+digest per shingle (vs one per shingle *per salt*) is the dominant-cost win;
+the affine transforms are integer math expressible identically in Spark SQL,
+DuckDB ('0x'||hex cast), and Python. All products stay below 2^62 (a < 2^30,
+base < 2^32) so ANSI-mode Spark and DuckDB BIGINT agree bit-for-bit.
 """
 
 from __future__ import annotations
 
 import hashlib
+
+#: smallest prime > 2^32 (MLlib MinHashLSH uses the same modulus trick)
+MINHASH_PRIME = 4294967311
+
+
+def _minhash_ab(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) per component, derived from md5 so every engine
+    mirror hardwires identical literals. a is odd and < 2^30 to keep
+    a * base < 2^62 (no 64-bit overflow in ANSI Spark / DuckDB)."""
+    h = hashlib.md5(f"minhash-{i}".encode()).hexdigest()
+    a = (int(h[:8], 16) % (2**30)) | 1
+    b = int(h[8:16], 16) % MINHASH_PRIME
+    return a, b
+
+
+#: 64 precomputed affine constants — index i serves signature component i
+MINHASH_AB = [_minhash_ab(i) for i in range(64)]
 
 
 def md5_hex(s: str) -> str:
@@ -44,26 +65,24 @@ def token_ngrams(tokens: list[str], n: int = 3) -> list[str]:
     return sorted({" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)})
 
 
-def minhash_signature(shingles: list[str], num_hashes: int = 16) -> list[str]:
-    """Lexicographic-min minhash; component 4s+j is the min over shingles of
-    the j-th 8-hex chunk of md5(f"{s}|" + shingle). Four components per md5
-    call (the chunks of one digest are independent enough for min-wise
-    hashing and it quarters the dominant md5 cost)."""
+def minhash_signature(shingles: list[str], num_hashes: int = 16) -> list[int]:
+    """Universal-hash minhash: mh_i = min over shingles of
+    (a_i * int(md5(sh)[:8], 16) + b_i) mod MINHASH_PRIME. One md5 per shingle
+    total; the per-component work is integer math only."""
     if not shingles:
-        return [""] * num_hashes
-    out = []
-    for seed in range((num_hashes + 3) // 4):
-        digests = [md5_hex(f"{seed}|{sh}") for sh in shingles]
-        for j in range(4):
-            if len(out) < num_hashes:
-                out.append(min(d[j * 8 : (j + 1) * 8] for d in digests))
-    return out
-
-
-def lsh_band_keys(signature: list[str], band_size: int = 4) -> list[str]:
-    """Concatenate signature rows into band keys; equal band key => candidate."""
+        return [None] * num_hashes
+    base = [int(md5_hex(sh)[:8], 16) for sh in shingles]
     return [
-        "|".join(signature[i : i + band_size])
+        min((a * h + b) % MINHASH_PRIME for h in base)
+        for a, b in MINHASH_AB[:num_hashes]
+    ]
+
+
+def lsh_band_keys(signature: list[int], band_size: int = 4) -> list[str]:
+    """Concatenate signature rows into band keys; equal band key => candidate.
+    Band b is prefixed with its index so bands never collide across rows."""
+    return [
+        "|".join([str(i // band_size)] + [str(v) for v in signature[i : i + band_size]])
         for i in range(0, len(signature), band_size)
     ]
 

@@ -7,8 +7,9 @@ the merge+dedup in utils/document.py:76-144):
   1. normalize surface forms (JVM-side string expressions),
   2. entity linking against a broadcast alias dictionary (equi-join),
   3. MinHash-LSH blocking over char-shingles of the normalized surface
-     (portable salted-md5 min-hashing, functions/hashing.py) -> candidate
-     equivalence edges within LSH buckets,
+     (portable universal-hash min-hashing over one md5 base hash per
+     shingle, functions/hashing.py) -> candidate equivalence edges within
+     LSH buckets,
   4. verify edges by exact Jaccard on shingle sets (array_intersect),
   5. connected components via iterative DataFrame min-label propagation
      (hash-to-min style; localCheckpoint per round to cut lineage),
@@ -24,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_AB, MINHASH_PRIME
 
 
 def normalize_surface(col):
@@ -47,47 +50,52 @@ def char_shingles_col(col, k: int = 3):
     )
 
 
-def _salted_digests(shingle_col, seed: int):
-    prefix = f"{seed}|"
-    return F.transform(shingle_col, lambda x: F.md5(F.concat(F.lit(prefix), x)))
+def _base_hash_col(shingle_col):
+    """32-bit base hash per shingle: int(md5(shingle)[:8], 16). ONE digest per
+    shingle serves every signature component (functions/hashing.py family)."""
+    return F.transform(
+        shingle_col,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
+    )
 
 
-def _chunk_min(digest_col, j: int):
-    start = j * 8 + 1
-    return F.array_min(F.transform(digest_col, lambda d: F.substring(d, start, 8)))
+def _affine_min(hash_arr_col, idx: int):
+    """mh_idx = min over base hashes of (a*h + b) mod P — integer math only.
+    Factory (not inline lambda) so each component captures its own constants;
+    a 2-arg lambda to F.transform would be (element, index) and corrupt them."""
+    a, b = MINHASH_AB[idx]
+    return F.array_min(
+        F.transform(
+            hash_arr_col,
+            lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME),
+        )
+    )
 
 
 def minhash_signature_cols(shingle_col, num_hashes: int = 16):
-    """Portable MinHash family (functions/hashing.py semantics): component
-    4s+j = min over shingles of the j-th 8-hex chunk of md5('s|' + shingle).
-    One md5 pass per salt yields four components — 4x fewer digests on the
-    hot path, same values computable in DuckDB.
-
-    NB: every lambda here is single-arg — a 2-arg lambda to F.transform is
-    interpreted as (element, index), silently corrupting the salt."""
-    cols = []
-    for idx in range(num_hashes):
-        seed, j = divmod(idx, 4)
-        cols.append(
-            _chunk_min(_salted_digests(shingle_col, seed), j).alias(f"mh{idx}")
-        )
-    return cols
+    """Portable universal-hash MinHash (functions/hashing.py semantics):
+    component i = min over shingles of (a_i * int(md5(sh)[:8],16) + b_i) mod P.
+    NB: when several components are selected from the same projection the
+    md5 pass is inlined per component (CollapseProject treats transform() as
+    cheap) — use with_minhash_signature for the staged two-phase plan."""
+    return [
+        _affine_min(_base_hash_col(shingle_col), i).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
 
 
 def with_minhash_signature(df, shingle_col: str, num_hashes: int = 16):
-    """Two-phase signature: materialize one digest array per salt, then take
-    chunk-mins — guarantees each md5 pass is computed once per row even
-    though four signature components read it."""
-    n_salts = (num_hashes + 3) // 4
-    for s in range(n_salts):
-        df = df.withColumn(f"_dg{s}", _salted_digests(F.col(shingle_col), s))
-    cols = []
-    for idx in range(num_hashes):
-        seed, j = divmod(idx, 4)
-        cols.append(_chunk_min(F.col(f"_dg{seed}"), j).alias(f"mh{idx}"))
-    return df.select(
-        *[c for c in df.columns if not c.startswith("_dg")], *cols
-    )
+    """Two-phase signature: materialize the base-hash array (one md5 per
+    shingle, localCheckpoint barrier so CollapseProject cannot re-inline the
+    digest pass into all N component projections), then N cheap affine-min
+    passes over the long array."""
+    staged = df.withColumn(
+        "_hx", _base_hash_col(F.col(shingle_col))
+    ).localCheckpoint(eager=False)
+    cols = [
+        _affine_min(F.col("_hx"), i).alias(f"mh{i}") for i in range(num_hashes)
+    ]
+    return staged.select(*df.columns, *cols)
 
 
 def link_entities(
@@ -124,7 +132,10 @@ def lsh_candidate_edges(
     sig = with_minhash_signature(base, "shingles", num_hashes)
     bands = []
     for b in range(0, num_hashes, band_size):
-        cols = [F.col(f"mh{i}") for i in range(b, min(b + band_size, num_hashes))]
+        cols = [
+            F.col(f"mh{i}").cast("string")
+            for i in range(b, min(b + band_size, num_hashes))
+        ]
         bands.append(
             F.concat_ws("|", F.lit(str(b)), *cols).alias(f"band{b // band_size}")
         )

@@ -4,7 +4,8 @@ All variants are pure DataFrame expressions (whole-stage codegen, no UDFs)
 built on engine-portable md5 hashing so each has a bit-exact DuckDB oracle:
 
   - exact:         md5 of normalized text, keep min doc_id per group
-  - MinHash + LSH: char-shingle salted-md5 minhash -> banded buckets ->
+  - MinHash + LSH: char-shingle universal-hash minhash (one md5 per shingle,
+                   affine transforms per component) -> banded buckets ->
                    verified candidate pairs (near-dup)
   - SimHash:       16-bit simhash over tokens (md5-derived bits)
   - n-gram Jaccard: token-trigram set overlap over blocked pairs
@@ -90,7 +91,10 @@ def minhash_lsh_pairs(
         F.concat_ws(
             "|",
             F.lit(str(b)),
-            *[F.col(f"mh{i}") for i in range(b * band_size, (b + 1) * band_size)],
+            *[
+                F.col(f"mh{i}").cast("string")
+                for i in range(b * band_size, (b + 1) * band_size)
+            ],
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]

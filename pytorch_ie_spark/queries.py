@@ -34,6 +34,7 @@ from .operators.similarity import (
     embedding_near_duplicates,
     hyperplane_signature_cols,
 )
+from .functions.hashing import MINHASH_AB, MINHASH_PRIME
 from .operators.canonicalize import char_shingles_col, with_minhash_signature
 from .sources.readers import read_table
 from .streaming.sessions import sessionize
@@ -451,24 +452,29 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_minhash_signature(base, "sh", 4).drop("sh")
 
 
-# chunk-based family: mh_{4s+j} = min over shingles of the j-th 8-hex chunk
-# of md5('s|' || shingle)
-MINHASH_SIG_ORACLE = """
+# universal-hash family: mh_i = min over shingles of
+# (a_i * int(md5(shingle)[:8],16) + b_i) mod P — one md5 per shingle total
+def _mh_expr(i: int, hx: str = "hx") -> str:
+    a, b = MINHASH_AB[i]
+    return (
+        f"list_aggregate(list_transform({hx}, "
+        f"h -> (h * {a} + {b}) % {MINHASH_PRIME}), 'min')"
+    )
+
+
+MINHASH_SIG_ORACLE = f"""
 WITH base AS (
   SELECT doc_id::BIGINT AS doc_id,
          list_transform(
            list_distinct(list_transform(
              generate_series(1, length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) - 4),
              i -> substr(trim(regexp_replace(lower(text),'\\s+',' ','g')), i, 5))),
-           x -> md5('0|' || x)) AS dg
+           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hx
   FROM documents
   WHERE length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) >= 5
 )
 SELECT doc_id,
-  list_aggregate(list_transform(dg, d -> substr(d, 1, 8)), 'min') AS mh0,
-  list_aggregate(list_transform(dg, d -> substr(d, 9, 8)), 'min') AS mh1,
-  list_aggregate(list_transform(dg, d -> substr(d, 17, 8)), 'min') AS mh2,
-  list_aggregate(list_transform(dg, d -> substr(d, 25, 8)), 'min') AS mh3
+  {", ".join(f"{_mh_expr(i)} AS mh{i}" for i in range(4))}
 FROM base
 """
 
@@ -481,7 +487,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MINHASH_PAIRS_ORACLE = """
+MINHASH_PAIRS_ORACLE = f"""
 WITH base AS (
   SELECT doc_id::BIGINT AS doc_id,
          list_distinct(list_transform(
@@ -489,21 +495,22 @@ WITH base AS (
            i -> substr(trim(regexp_replace(lower(text),'\\s+',' ','g')), i, 5))) AS sh
   FROM documents
   WHERE length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) >= 5
-), sig AS (
-  -- chunk minhash family: component 4s+j = min j-th 8-hex chunk of salt s
+), hashed AS (
   SELECT doc_id, sh,
-    flatten(list_transform(generate_series(0, 3), b -> [
-      list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 1, 8)), 'min'),
-      list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 9, 8)), 'min'),
-      list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 17, 8)), 'min'),
-      list_aggregate(list_transform(sh, x -> substr(md5(CAST(b AS VARCHAR) || '|' || x), 25, 8)), 'min')
-    ])) AS mhs
+         list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hx
   FROM base
+), sig AS (
+  -- universal-hash family: mh_i = min (a_i*h + b_i) mod P over base hashes
+  SELECT doc_id, sh,
+         [{", ".join(_mh_expr(i) for i in range(16))}] AS mhs
+  FROM hashed
 ), stacked AS (
   SELECT doc_id, sh, mhs,
          unnest(list_transform(generate_series(0, 3), b ->
-           CAST(b AS VARCHAR) || '|' || mhs[b*4+1] || '|' || mhs[b*4+2]
-           || '|' || mhs[b*4+3] || '|' || mhs[b*4+4])) AS band_key
+           CAST(b AS VARCHAR) || '|' || CAST(mhs[b*4+1] AS VARCHAR)
+           || '|' || CAST(mhs[b*4+2] AS VARCHAR)
+           || '|' || CAST(mhs[b*4+3] AS VARCHAR)
+           || '|' || CAST(mhs[b*4+4] AS VARCHAR))) AS band_key
   FROM sig
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id,
