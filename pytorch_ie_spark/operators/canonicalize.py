@@ -84,18 +84,45 @@ def minhash_signature_cols(shingle_col, num_hashes: int = 16):
     ]
 
 
+def _minhash_struct_col(shingle_col, num_hashes: int):
+    """All components in ONE fold: aggregate over the base-hash array (the
+    aggregate's input expression — the md5 pass — is evaluated once per row),
+    with the bound element reused by every affine term. Integer math only
+    inside the fold."""
+    init = F.struct(
+        *[
+            F.lit(MINHASH_PRIME).cast("long").alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+    def merge(acc, h):
+        fields = []
+        for i in range(num_hashes):
+            a, b = MINHASH_AB[i]
+            fields.append(
+                F.least(
+                    acc[f"mh{i}"],
+                    (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME),
+                ).alias(f"mh{i}")
+            )
+        return F.struct(*fields)
+
+    return F.aggregate(_base_hash_col(shingle_col), init, merge)
+
+
 def with_minhash_signature(df, shingle_col: str, num_hashes: int = 16):
-    """Two-phase signature: materialize the base-hash array (one md5 per
-    shingle, localCheckpoint barrier so CollapseProject cannot re-inline the
-    digest pass into all N component projections), then N cheap affine-min
-    passes over the long array."""
-    staged = df.withColumn(
-        "_hx", _base_hash_col(F.col(shingle_col))
-    ).localCheckpoint(eager=False)
-    cols = [
-        _affine_min(F.col("_hx"), i).alias(f"mh{i}") for i in range(num_hashes)
-    ]
-    return staged.select(*df.columns, *cols)
+    """Adds mh0..mh{n-1} long columns in a single pass over the shingles.
+
+    The struct is surfaced through F.inline(F.array(...)) — a generator is
+    evaluated once per row, whereas selecting N getFields of a struct
+    expression lets CollapseProject duplicate the whole aggregate (and its
+    md5 pass) into every component column. No caching or checkpoint barrier
+    is needed, so nothing large stays pinned in executor memory."""
+    return df.select(
+        *df.columns,
+        F.inline(F.array(_minhash_struct_col(F.col(shingle_col), num_hashes))),
+    )
 
 
 def link_entities(

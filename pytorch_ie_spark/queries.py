@@ -446,8 +446,8 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("long").alias("doc_id"),
             char_shingles_col(normalize_text(F.col("text")), 5).alias("sh"),
         )
-        # pin: chunk-min projections must not re-inline the shingle pass
-        .localCheckpoint(eager=False)
+        # single-pass signature (aggregate fold + inline): no pin needed,
+        # the md5 pass appears exactly once in the plan
     )
     return with_minhash_signature(base, "sh", 4).drop("sh")
 
