@@ -1,13 +1,17 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths:
+Three paths:
   - brute-force cosine top-k: broadcast the (small) query set against all
     vectors; dot/norms via higher-order functions (zip_with + aggregate),
     fully JVM-side — the exact baseline,
   - LSH-bucketed ANN: deterministic random-hyperplane signatures (weights
     ±1 derived from md5(plane|dim), engine-portable) bucket the vectors;
-    candidates are same-bucket only — the 100 TB scale path (bucket join
-    instead of cross join).
+    candidates are same-bucket only — a 100 TB scale path (bucket join
+    instead of cross join),
+  - IVF ANN: vectors assigned to their nearest centroid (inverted lists);
+    a query probes only its `nprobe` nearest lists. At cluster scale the
+    lists are the partitioning key, so a probe is partition pruning — the
+    other standard ANN architecture next to LSH.
 
 Embedding near-duplicate detection (cosine >= threshold within a block) is
 the embedding leg of the dedup family.
@@ -120,6 +124,86 @@ def lsh_bucketed_ann(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "bucket")
+    )
+
+
+def _cos_to_literal(vec_col, cvec: list[float]):
+    """Cosine of a vector column against a centroid embedded as a literal
+    array — same fold order as the in-table cosine so engines agree."""
+    arr = F.array(*[F.lit(float(x)) for x in cvec])
+    return _dot(vec_col, arr) / (_norm(vec_col) * _norm(arr))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: (query_id, rank, neighbor_id, centroid_id).
+
+    'Training' is deterministic (centroids = the first `num_centroids`
+    vectors by id) so the index is reproducible and oracle-checkable; the
+    search path is the real IVF shape:
+      1. assign every vector to its argmax-cosine centroid in one JVM-side
+         projection (centroids broadcast as literals — the 'small dim'),
+      2. a query probes its `nprobe` nearest centroids only,
+      3. candidates = vectors in the probed inverted lists (broadcast join
+         on centroid_id; at cluster scale the lists are the partition key,
+         so this is partition pruning, never a cross join).
+    Ties broken by centroid/neighbor id; ranks returned, scores internal."""
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    cents = sorted(
+        (r["nid"], r["vec"])
+        for r in base.where(F.col("nid") < num_centroids).collect()
+    )
+    # struct(cos, -cid): array_max/array_sort order by cos, ties -> min cid
+    def scored_cents(vcol):
+        return F.array(
+            *[
+                F.struct(
+                    _cos_to_literal(vcol, cvec).alias("cos"),
+                    F.lit(-cid).cast("long").alias("negcid"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+
+    assigned = base.withColumn(
+        "centroid_id", -F.array_max(scored_cents(F.col("vec")))["negcid"]
+    )
+    queries = assigned.where(
+        F.col("nid").isin([int(q) for q in query_ids])
+    ).select(F.col("nid").alias("query_id"), F.col("vec").alias("qvec"))
+    probe_arr = F.slice(
+        F.reverse(F.array_sort(scored_cents(F.col("qvec")))), 1, nprobe
+    )
+    probes = queries.select(
+        "query_id", "qvec", F.explode(probe_arr).alias("p")
+    ).select("query_id", "qvec", (-F.col("p.negcid")).alias("probe_cid"))
+    cands = F.broadcast(probes).join(
+        assigned,
+        (F.col("probe_cid") == F.col("centroid_id"))
+        & (F.col("nid") != F.col("query_id")),
+    )
+    cos = (
+        _dot(F.col("qvec"), F.col("vec"))
+        / (_norm(F.col("qvec")) * _norm(F.col("vec")))
+    ).alias("cos")
+    scored = cands.select(
+        "query_id", F.col("nid").alias("neighbor_id"), "centroid_id", cos
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "centroid_id")
     )
 
 

@@ -33,6 +33,7 @@ from .operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
     hyperplane_signature_cols,
+    ivf_topk,
 )
 from .functions.hashing import MINHASH_AB, MINHASH_PRIME
 from .operators.canonicalize import char_shingles_col, with_minhash_signature
@@ -664,6 +665,55 @@ FROM base GROUP BY 1
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic centroids, argmax-cosine inverted lists,
+    nprobe-bucket search (operators/similarity.py ivf_topk)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, ANN_QUERY_IDS, num_centroids=8, nprobe=2, k=5)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        F.col("centroid_id").cast("long"),
+    )
+
+
+ANN_IVF_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id::BIGINT AS nid, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT nid AS cid, v AS cv FROM base WHERE nid < 8
+), assign_scored AS (
+  SELECT b.nid, b.v, c.cid,
+         list_dot_product(b.v, c.cv)
+         / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos,
+         row_number() OVER (PARTITION BY b.nid ORDER BY
+           list_dot_product(b.v, c.cv)
+           / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+           c.cid) AS rn
+  FROM base b CROSS JOIN cents c
+), assigned AS (
+  SELECT nid, v, cid AS centroid_id FROM assign_scored WHERE rn = 1
+), probes AS (
+  SELECT nid AS query_id, v AS qv, cid AS probe_cid
+  FROM assign_scored
+  WHERE rn <= 2 AND nid IN ({",".join(str(i) for i in ANN_QUERY_IDS)})
+), scored AS (
+  SELECT p.query_id, a.nid AS neighbor_id, a.centroid_id,
+         list_dot_product(p.qv, a.v)
+         / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+  FROM probes p JOIN assigned a
+    ON a.centroid_id = p.probe_cid AND a.nid != p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, centroid_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk::BIGINT AS rank, neighbor_id, centroid_id
+FROM ranked WHERE rnk <= 5
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(emb, threshold=0.30, block_col="label").select(
@@ -1271,6 +1321,7 @@ QUERIES: dict[str, tuple] = {
     # similarity
     "ann_topk": (q_ann_topk, ANN_TOPK_ORACLE),
     "ann_lsh_buckets": (q_ann_lsh_buckets, ANN_LSH_ORACLE),
+    "ann_ivf": (q_ann_ivf, ANN_IVF_ORACLE),
     "embedding_near_dups": (q_embedding_near_dups, EMB_NEAR_DUP_ORACLE),
     # text analysis
     "text_stats": (q_text_stats, TEXT_STATS_ORACLE),

@@ -47,3 +47,29 @@ def test_embedding_near_duplicates_threshold(spark):
     vs = [[1.0, 0.0], [1.0, 0.001], [0.0, 1.0]]
     pairs = embedding_near_duplicates(_emb(spark, vs), threshold=0.99).collect()
     assert [(p["src_id"], p["dst_id"]) for p in pairs] == [(0, 1)]
+
+
+def test_ivf_assigns_and_probes(spark):
+    from pytorch_ie_spark.operators.similarity import ivf_topk
+
+    # centroids = ids 0,1 (x-axis-ish vs y-axis-ish); the rest cluster around
+    # them so the inverted lists are unambiguous
+    vs = [
+        [1.0, 0.0],    # 0: centroid A
+        [0.0, 1.0],    # 1: centroid B
+        [0.95, 0.05],  # 2: in A's list
+        [0.9, 0.1],    # 3: in A's list
+        [0.05, 0.95],  # 4: in B's list
+    ]
+    out = ivf_topk(_emb(spark, vs), [0], num_centroids=2, nprobe=1, k=5).collect()
+    # nprobe=1 from query 0 probes only list A -> neighbors 2,3 (and not 4)
+    got = {(r["neighbor_id"], r["centroid_id"]) for r in out}
+    assert got == {(2, 0), (3, 0)}
+    ranks = {r["neighbor_id"]: r["rank"] for r in out}
+    assert ranks[2] == 1 and ranks[3] == 2
+
+    # nprobe=2 reaches both lists; 4 ([0.05,0.95], cos~0.052) outranks the
+    # orthogonal centroid 1 (cos 0)
+    out2 = ivf_topk(_emb(spark, vs), [0], num_centroids=2, nprobe=2, k=5).collect()
+    by_rank = [r["neighbor_id"] for r in sorted(out2, key=lambda r: r["rank"])]
+    assert by_rank == [2, 3, 4, 1]
