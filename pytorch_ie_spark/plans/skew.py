@@ -41,16 +41,29 @@ def size_bucketed(
     bucket_width: int = 1024,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Range-partition rows by a size bucket of `length_col` (expression ok):
-    long rows co-locate with long rows, so per-partition work is even and
-    batch padding is bounded."""
+    """Spread rows evenly across partitions, then sort each partition by a
+    size bucket of `length_col` (expression ok): every partition gets an even
+    share of work AND its Arrow batches are length-homogeneous, which bounds
+    model-UDF padding waste.
+
+    Hash-partition on (bucket, bounded deterministic salt) + local sort, NOT
+    repartitionByRange: the bucket value alone is low-cardinality (a handful
+    of distinct lengths/1024), so range partitioning on it collapses the
+    downstream UDF stage to #distinct-buckets tasks (3 tasks on 32 cores at
+    sf0.1); range partitioning also runs a separate sampling job over the
+    child plan — a second full pass at 100 TB. One shuffle, no sampling."""
     bucketed = df.withColumn(
         "_size_bucket", (length_col / F.lit(bucket_width)).cast("int")
     )
-    if num_partitions:
-        out = bucketed.repartitionByRange(num_partitions, "_size_bucket")
-    else:
-        out = bucketed.repartitionByRange("_size_bucket")
+    parts = num_partitions or max(
+        df.sparkSession.sparkContext.defaultParallelism * 2,
+        df.rdd.getNumPartitions(),
+    )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(parts))
+    out = (
+        bucketed.repartition(parts, F.col("_size_bucket"), salt)
+        .sortWithinPartitions("_size_bucket")
+    )
     return out.drop("_size_bucket")
 
 
