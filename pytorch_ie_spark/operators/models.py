@@ -43,6 +43,43 @@ def resolve_model(name: str, config: dict | None = None):
     return _MODEL_CACHE[key]
 
 
+def save_pretrained(path: str, name: str, config: dict | None = None) -> str:
+    """Persist a (name, config) model spec as a config.json artifact dir —
+    the reference's save_pretrained surface (model.py:9-20: config +
+    weights; rule models have no weights, HF-backed models store the
+    checkpoint id in config). Driver-side write; executors later resolve
+    lazily from the spec, never from the artifact path."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump({"model_type": name, "config": config or {}}, f, indent=2)
+    return path
+
+
+def from_pretrained(path: str):
+    """Load a model from a save_pretrained artifact dir (reference
+    model.py:17-32 from_pretrained; registry lookup = Auto* by config)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "config.json")) as f:
+        spec = json.load(f)
+    return resolve_model(spec["model_type"], spec.get("config") or {})
+
+
+def load_spec(path: str) -> tuple[str, dict]:
+    """(name, config) from an artifact dir — the picklable form shipped to
+    executors (only the spec crosses the driver->worker boundary)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "config.json")) as f:
+        spec = json.load(f)
+    return spec["model_type"], spec.get("config") or {}
+
+
 @register_model("rule_ner")
 class RuleNerModel:
     """Deterministic BIO tagger reproducing the reference fixture entities.
