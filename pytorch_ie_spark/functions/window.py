@@ -34,19 +34,23 @@ def enumerate_windows(
     # seq_len <= overlap, which would silently drop short docs here)
     if seq_len <= max_size and seq_len > 0:
         return [((0, seq_len), (0, seq_len))]
-    stride = max_size - 2 * overlap
     windows = []
-    for label_start in range(overlap, seq_len, stride):
-        tok_start = label_start - overlap
-        label_end = min(label_start + stride, seq_len)
-        tok_end = min(label_end + overlap, seq_len)
-        rel_start = label_start - tok_start
-        rel_end = label_end - tok_start
-        if tok_start == 0:
-            rel_start = 0
-        if tok_end == seq_len:
-            rel_end = tok_end - tok_start
-        windows.append(((tok_start, tok_end), (rel_start, rel_end)))
+    # `next_unlabeled` is the absolute index of the first token not yet
+    # assigned to any label slice; the loop advances it monotonically so
+    # exactly-once coverage holds by construction (no post-hoc clamping,
+    # which previously emitted a duplicate trailing window when tok_end
+    # hit seq_len one iteration early).
+    next_unlabeled = 0
+    while next_unlabeled < seq_len:
+        tok_start = 0 if not windows else next_unlabeled - overlap
+        tok_end = min(tok_start + max_size, seq_len)
+        # the final window labels through its last token; interior windows
+        # leave `overlap` trailing tokens as context for the next window
+        label_end_abs = tok_end if tok_end == seq_len else tok_end - overlap
+        windows.append(
+            ((tok_start, tok_end), (next_unlabeled - tok_start, label_end_abs - tok_start))
+        )
+        next_unlabeled = label_end_abs
     return windows
 
 

@@ -40,31 +40,24 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
+def _minhash_band_stack(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_k: int = 5,
-    num_hashes: int = 16,
-    band_size: int = 4,
-    jaccard_threshold: float = 0.5,
-    min_sig_matches: int | None = None,
-) -> DataFrame:
-    """Near-duplicate candidate pairs (src_id < dst_id) verified by shingle
-    Jaccard. shingle -> minhash -> band -> bucket-join -> signature
-    pre-filter -> exact verify: the standard web-dedup pipeline, DataFrame
-    ops only.
+    shingle_k: int,
+    num_hashes: int,
+    band_size: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared front of the MinHash-LSH pipeline: returns
 
-    The pre-filter drops band-collision pairs whose full signatures agree on
-    fewer than `min_sig_matches` of `num_hashes` components (default
-    num_hashes/4, i.e. estimated jaccard well under threshold) BEFORE the
-    exact verification joins the shingle arrays back: at scale, shuffling
-    shingle arrays for false-positive pairs is the dominant cost. Identical
-    docs match all components, so exact-dup recall is unaffected."""
+      base    (doc_id, shingles)           — lazy-checkpointed
+      sig     (doc_id, mh0..mh{n-1})       — lazy-checkpointed
+      stacked (doc_id, band_key)           — one row per (doc, band)
+
+    Lazy checkpoints break lineage for the multiply-referenced tables
+    without eagerly pinning blocks in executor memory."""
     from ..plans.skew import ensure_parallelism
 
-    if min_sig_matches is None:
-        min_sig_matches = max(1, num_hashes // 4)
     # materialize the shingle table: Catalyst's CollapseProject treats
     # transform() lambdas as cheap and would otherwise inline the shingle
     # expression into every salt's digest pass (multiplicative recompute)
@@ -79,12 +72,10 @@ def minhash_lsh_pairs(
         .localCheckpoint(eager=False)
     )
     mh_names = [f"mh{i}" for i in range(num_hashes)]
-    # materialize signatures once: referenced by the band explode AND both
-    # sides of the pre-filter join
     sig = (
         with_minhash_signature(base, "shingles", num_hashes)
         .select("doc_id", *mh_names)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_bands = num_hashes // band_size
     band_cols = [
@@ -102,6 +93,72 @@ def minhash_lsh_pairs(
     stacked = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
     )
+    return base, sig, stacked
+
+
+def lsh_dropped_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(band_key, bucket_size) of the band buckets `minhash_lsh_pairs` drops
+    under the same parameters — write this next to the pair output so capped
+    boilerplate clusters are auditable rather than silently skipped."""
+    _, _, stacked = _minhash_band_stack(
+        df, id_col, text_col, shingle_k, num_hashes, band_size
+    )
+    return (
+        stacked.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    jaccard_threshold: float = 0.5,
+    min_sig_matches: int | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (src_id < dst_id) verified by shingle
+    Jaccard. shingle -> minhash -> band -> bucket-join -> signature
+    pre-filter -> exact verify: the standard web-dedup pipeline, DataFrame
+    ops only.
+
+    The pre-filter drops band-collision pairs whose full signatures agree on
+    fewer than `min_sig_matches` of `num_hashes` components (default
+    num_hashes/4, i.e. estimated jaccard well under threshold) BEFORE the
+    exact verification joins the shingle arrays back: at scale, shuffling
+    shingle arrays for false-positive pairs is the dominant cost. Identical
+    docs match all components, so exact-dup recall is unaffected.
+
+    Band buckets larger than `max_bucket` are dropped before the self-join
+    (same cap as canonicalize.lsh_candidate_edges): one viral boilerplate
+    cluster sharing a band key would otherwise make the bucket self-join
+    quadratic at corpus scale. Dropped buckets are observable, not silent —
+    `lsh_dropped_buckets` returns their (band_key, size) for lineage."""
+    if min_sig_matches is None:
+        min_sig_matches = max(1, num_hashes // 4)
+    base, sig, stacked = _minhash_band_stack(
+        df, id_col, text_col, shingle_k, num_hashes, band_size
+    )
+    mh_names = [f"mh{i}" for i in range(num_hashes)]
+    # cap pathological buckets BEFORE the self-join (quadratic otherwise)
+    bucket_sizes = stacked.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("_bsz")
+    )
+    stacked = stacked.join(
+        bucket_sizes.where(F.col("_bsz") <= max_bucket), "band_key"
+    ).drop("_bsz")
     a = stacked.select("band_key", F.col("doc_id").alias("src_id"))
     b_ = stacked.select("band_key", F.col("doc_id").alias("dst_id"))
     pairs = (

@@ -187,6 +187,102 @@ def extract_relations_cogrouped(
     )
 
 
+def extract_relations_batched(
+    documents: DataFrame,
+    mentions: DataFrame,
+    model_name: str = "rule_re",
+    model_config: dict | None = None,
+    max_distance: int | None = 200,
+    none_label: str = "no_relation",
+    keep_none: bool = False,
+) -> DataFrame:
+    """Fused candidate-generation + classification, ONE Python invocation per
+    Arrow batch (not per document).
+
+    The cogroup-applyInPandas variant above invokes the Python worker and
+    allocates a pandas frame per doc_id group — per-key overhead that the
+    extract.py docstring warns against and that dominates at 10^12 docs.
+    Here mentions are pre-aggregated per doc (sort_array+collect_list: one
+    shuffle, bounded arrays), joined with the doc text, and the classifier
+    runs once per Arrow batch spanning MANY documents: candidate pairs are
+    built row-by-row in local Python lists (cheap, no copies — the text is
+    shared by reference) and predicted in a single vectorized call."""
+    m_agg = mentions.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("start", "end", "label", "mention_id"))
+        ).alias("ments")
+    )
+    joined = documents.select("doc_id", "text", "content_sha256").join(
+        m_agg, "doc_id"
+    )
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = resolve_model(model_name, model_config)
+        cols = [
+            "doc_id",
+            "head_mention_id",
+            "tail_mention_id",
+            "label",
+            "score",
+            "source",
+            "content_sha256",
+        ]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts, mlists, heads, tails = [], [], [], []
+            hl, tl, hid, tid, dids, shas = [], [], [], [], [], []
+            for doc_id, text, sha, ments in zip(
+                pdf["doc_id"], pdf["text"], pdf["content_sha256"], pdf["ments"]
+            ):
+                ms = [
+                    (int(m["start"]), int(m["end"]), m["label"], m["mention_id"])
+                    for m in ments
+                ]
+                if len(ms) < 2:
+                    continue
+                mlist = [(s, e, lab) for s, e, lab, _ in ms]
+                for hs, he, hlab, hmid in ms:
+                    for ts, te, tlab, tmid in ms:
+                        if hmid == tmid:
+                            continue
+                        if max_distance is not None:
+                            gap = max(0, max(hs, ts) - min(he, te))
+                            if gap > max_distance:
+                                continue
+                        texts.append(text)
+                        mlists.append(mlist)
+                        heads.append((hs, he))
+                        tails.append((ts, te))
+                        hl.append(hlab)
+                        tl.append(tlab)
+                        hid.append(hmid)
+                        tid.append(tmid)
+                        dids.append(doc_id)
+                        shas.append(sha)
+            if not heads:
+                continue
+            preds = model.predict_pairs(
+                texts, mlists, heads, tails, head_labels=hl, tail_labels=tl
+            )
+            out = pd.DataFrame(
+                {
+                    "doc_id": dids,
+                    "head_mention_id": hid,
+                    "tail_mention_id": tid,
+                    "label": [p[0] for p in preds],
+                    "score": [float(p[1]) for p in preds],
+                    "source": "pred",
+                    "content_sha256": shas,
+                }
+            )
+            if not keep_none:
+                out = out[out["label"] != none_label]
+            yield out[cols]
+
+    return joined.mapInPandas(infer, schema=RELATIONS_SCHEMA)
+
+
 def merge_relation_layers(*layers: DataFrame) -> DataFrame:
     """Multi-source annotation merge: union layers, dedup by value keeping the
     max score (utils/document.py:76-144 merge + deduplicate_annotations)."""

@@ -68,18 +68,36 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature_cols(vec_col, num_planes: int = 8):
-    """Deterministic random-hyperplane sign bits: weight for (plane p, dim i)
-    = +1 if first hex char of md5('p|i') >= '8' else -1. Portable to any
-    engine with md5.
+def hyperplane_weight(p: int, i: int) -> float:
+    """Deterministic ±1 weight for (plane p, dim i): +1 iff the first hex
+    char of md5('p|i') >= '8'. Engine-portable (oracles recompute the same
+    md5 in SQL); the Spark side precomputes it HERE, on the driver — the
+    weights are constants, so evaluating 512 md5 calls per ROW (the naive
+    in-plan expression) is pure waste."""
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"{p}|{i}".encode()).hexdigest()[0] >= "8" else -1.0
+
+
+def hyperplane_signature_cols(vec_col, num_planes: int = 8, dim: int | None = None):
+    """Deterministic random-hyperplane sign bits (see `hyperplane_weight`).
 
     The projection is computed on 1e6-quantized integer terms so the sign is
     exact and engine/order-independent (a float sum could flip a near-zero
-    projection between engines)."""
+    projection between engines).
 
-    def plane_bit(p: int):
+    When `dim` is known (any production embedding column has a fixed
+    dimension) the weights are embedded as literal arrays — zero per-row
+    hashing. Without `dim` the weights are derived in-plan per row; only
+    acceptable for ad-hoc inputs."""
+
+    def weights_col(p: int):
+        if dim is not None:
+            return F.array(
+                *[F.lit(hyperplane_weight(p, i)) for i in range(dim)]
+            )
         prefix = f"{p}|"
-        weights = F.transform(
+        return F.transform(
             F.sequence(F.lit(0), F.size(vec_col) - 1),
             lambda i: F.when(
                 F.substring(F.md5(F.concat(F.lit(prefix), i.cast("string"))), 1, 1)
@@ -87,9 +105,13 @@ def hyperplane_signature_cols(vec_col, num_planes: int = 8):
                 F.lit(1.0),
             ).otherwise(F.lit(-1.0)),
         )
+
+    def plane_bit(p: int):
         proj = F.aggregate(
             F.zip_with(
-                vec_col, weights, lambda x, w: F.round(x * w * 1000000.0, 0).cast("long")
+                vec_col,
+                weights_col(p),
+                lambda x, w: F.round(x * w * 1000000.0, 0).cast("long"),
             ),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
@@ -105,14 +127,16 @@ def lsh_bucketed_ann(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate neighbors: only same-signature pairs are scored.
-    Returns (query_id, rank, neighbor_id, bucket) per bucketed query."""
+    Returns (query_id, rank, neighbor_id, bucket) per bucketed query.
+    Pass `dim` so the hyperplane weights become plan literals."""
     base = embeddings.select(
         F.col(id_col).cast("long").alias("nid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
-    bits = hyperplane_signature_cols(F.col("vec"), num_planes)
+    bits = hyperplane_signature_cols(F.col("vec"), num_planes, dim=dim)
     sig = base.select("nid", "vec", F.concat_ws("", *bits).alias("bucket"))
     a = sig.select("bucket", F.col("nid").alias("query_id"), F.col("vec").alias("qvec"))
     b = sig.select(F.col("bucket").alias("bucket2"), F.col("nid").alias("neighbor_id"), "vec")

@@ -5,14 +5,25 @@ This is the partition-level complement to the stage-level resume in
 plans/lineage.py: at 10^12-file scale the corpus grows continuously, and a
 failed or partial run must be re-submittable without reprocessing completed
 units (north_rule checkpoint-resume). The completed-unit set is derived
-from the triples already on disk plus an explicit `processed` marker table
-(so documents that legitimately produce zero triples aren't reprocessed
-forever).
+from an explicit `processed` marker table (so documents that legitimately
+produce zero triples aren't reprocessed forever).
+
+Crash-idempotency contract (two-phase commit via run ids):
+
+  1. each run writes its triples under ``triples/run_id=<id>/`` (data first),
+  2. the unit markers — tagged with the same run_id — are written ONLY after
+     the data write succeeded (the marker write is the commit point),
+  3. readers (`read_triples`) only see data whose run_id appears in the
+     marker table, so a crash between (1) and (2) leaves invisible orphan
+     data and still-pending units: the replay reprocesses them under a new
+     run_id with no duplicate triples observable. `orphan_run_ids` surfaces
+     leftovers for cleanup.
 """
 
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +40,10 @@ def _triples_path(out_dir: str) -> str:
     return os.path.join(out_dir, "triples")
 
 
+def _unit_key_col():
+    return F.concat_ws("@", F.concat_ws("/", "repo", "path"), "commit")
+
+
 def pending_source_files(
     spark: SparkSession, source_files: DataFrame, out_dir: str
 ) -> DataFrame:
@@ -37,10 +52,16 @@ def pending_source_files(
     if not os.path.exists(ppath):
         return source_files
     done = spark.read.parquet(ppath).select("unit_key")
-    keyed = source_files.withColumn(
-        "unit_key", F.concat_ws("@", F.concat_ws("/", "repo", "path"), "commit")
-    )
+    keyed = source_files.withColumn("unit_key", _unit_key_col())
     return keyed.join(done, "unit_key", "left_anti").drop("unit_key")
+
+
+def committed_run_ids(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(run_id) of runs whose marker write completed — the commit record."""
+    ppath = _processed_path(out_dir)
+    if not os.path.exists(ppath):
+        return spark.createDataFrame([], "run_id string")
+    return spark.read.parquet(ppath).select("run_id").dropDuplicates(["run_id"])
 
 
 def ingest_increment(
@@ -51,14 +72,17 @@ def ingest_increment(
     re_model: str = "cooccurrence_re",
     max_distance: int = 40,
 ) -> dict:
-    """Process only pending units; append triples + mark units processed.
+    """Process only pending units; stage triples under a run_id, then commit
+    by writing the unit markers (see module docstring for the crash story).
 
-    Returns {'processed_units': n, 'new_triples': n} — zeros when the run is
-    a no-op replay (idempotency)."""
+    Returns {'processed_units': n, 'new_triples': n} where new_triples is
+    the count of THIS increment's triples (not the on-disk total) — zeros
+    when the run is a no-op replay (idempotency)."""
     pending = pending_source_files(spark, source_files, out_dir)
     n_units = pending.count()
     if n_units == 0:
         return {"processed_units": 0, "new_triples": 0}
+    run_id = uuid.uuid4().hex[:16]
     documents = documents_from_source_files(pending)
     triples = fused_triples(
         extract_triples_fused(
@@ -67,16 +91,22 @@ def ingest_increment(
             re_model=re_model,
             max_distance=max_distance,
         )
+    ).withColumn("run_id", F.lit(run_id))
+    # phase 1: data under this run's partition (invisible until committed)
+    triples.write.mode("append").partitionBy("run_id", "pred").parquet(
+        _triples_path(out_dir)
     )
-    triples.write.mode("append").partitionBy("pred").parquet(_triples_path(out_dir))
-    n_triples = spark.read.parquet(_triples_path(out_dir)).count()
+    # count the increment from what was actually written for THIS run
+    n_triples = (
+        spark.read.parquet(_triples_path(out_dir))
+        .where(F.col("run_id") == run_id)
+        .count()
+    )
+    # phase 2 (commit point): markers carry the run_id that validates the data
     (
-        pending.select(
-            F.concat_ws(
-                "@", F.concat_ws("/", "repo", "path"), "commit"
-            ).alias("unit_key")
-        )
+        pending.select(_unit_key_col().alias("unit_key"))
         .dropDuplicates(["unit_key"])
+        .withColumn("run_id", F.lit(run_id))
         .write.mode("append")
         .parquet(_processed_path(out_dir))
     )
@@ -84,4 +114,24 @@ def ingest_increment(
 
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(_triples_path(out_dir))
+    """Committed triples only: data whose run_id has markers. Orphan data
+    from a crashed run (data written, markers not) is filtered out — the
+    run-id set is tiny, so the semi join is a broadcast."""
+    t = spark.read.parquet(_triples_path(out_dir))
+    committed = committed_run_ids(spark, out_dir)
+    return t.join(F.broadcast(committed), "run_id", "left_semi").drop("run_id")
+
+
+def orphan_run_ids(spark: SparkSession, out_dir: str) -> list[str]:
+    """run_ids with data on disk but no commit markers (crashed runs) —
+    their directories can be deleted at leisure; readers never see them."""
+    data_runs = (
+        spark.read.parquet(_triples_path(out_dir))
+        .select("run_id")
+        .dropDuplicates(["run_id"])
+    )
+    committed = committed_run_ids(spark, out_dir)
+    return [
+        r["run_id"]
+        for r in data_runs.join(committed, "run_id", "left_anti").collect()
+    ]

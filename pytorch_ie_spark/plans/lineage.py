@@ -8,8 +8,10 @@ Every pipeline stage runs through ``run_stage``:
     one lineage row per output partition:
       (stage, partition_id, input_sha256_digest, row_count, triple_count,
        wall_time_s, ts)
-    where the digest is an order-independent XOR of xxhash64 over the
-    partition's content hashes — cheap at 100 TB (no sort, no collect).
+    where the digest is an order-independent XOR fold of per-row sha256
+    values (60-bit prefixes of the content_sha256 column, or of
+    sha2(row, 256) when absent) — a true digest of the sha256 hashes,
+    cheap at 100 TB (no sort, no collect).
 
 Reference analog: the statistics mixin counters
 (src/pytorch_ie/taskmodules/common/mixins.py:210-297) — promoted from
@@ -30,25 +32,26 @@ from pyspark.sql import functions as F
 def partition_lineage(
     df: DataFrame, stage: str, wall_time_s: float, digest_col: str | None = "content_sha256"
 ) -> DataFrame:
-    """One row per Spark partition of `df` with an order-independent digest."""
+    """One row per Spark partition of `df` with an order-independent digest
+    of the partition's sha256 values (XOR of 60-bit sha256 prefixes — the
+    column name says sha256, so the fold input really is sha256)."""
     if digest_col and digest_col in df.columns:
-        digest_src = F.col(digest_col)
+        sha = F.col(digest_col)
     else:
-        digest_src = F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
+        sha = F.sha2(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns]), 256
+        )
     with_pid = df.select(
         F.spark_partition_id().alias("partition_id"),
-        F.xxhash64(digest_src).alias("_h"),
+        # first 15 hex chars = 60 bits: sign-safe in a LONG for bit_xor
+        F.conv(F.substring(sha, 1, 15), 16, 10).cast("long").alias("_h"),
     )
     ts = datetime.now(timezone.utc).isoformat()
     return (
         with_pid.groupBy("partition_id")
         .agg(
-            F.conv(
-                F.bit_xor("_h")
-                .bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
-                .cast("string"),
-                10,
-                16,
+            F.lpad(
+                F.conv(F.bit_xor("_h").cast("string"), 10, 16), 15, "0"
             ).alias("input_sha256_digest"),
             F.count(F.lit(1)).alias("row_count"),
         )

@@ -72,14 +72,14 @@ def _gaz_case_sql() -> str:
     return f"CASE surface {whens} END"
 
 
-def _gaz_label_col():
-    col = F.lit(None).cast("string")
+def _gaz_label_col(col=None):
+    col = F.col("surface") if col is None else col
     expr = None
     for w, l in GAZETTEER.items():
         expr = (
-            F.when(F.col("surface") == w, F.lit(l))
+            F.when(col == w, F.lit(l))
             if expr is None
-            else expr.when(F.col("surface") == w, F.lit(l))
+            else expr.when(col == w, F.lit(l))
         )
     return expr
 
@@ -109,8 +109,11 @@ def mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/mentions.py)."""
     docs = read_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    # single-pass accumulator: O(n) per document (a slice-based prefix sum
-    # would be O(n^2) and dominated the sf0.1 bench)
+    # single-pass accumulator, linear in document length: the position
+    # counter advances per token, but the collected array only grows for
+    # gazetteer HITS (bounded per doc), so array_append's copy-on-grow never
+    # goes quadratic on long documents — appending every token and filtering
+    # after the explode re-copies the accumulator per token (O(n^2))
     structs = F.aggregate(
         toks,
         F.struct(
@@ -121,9 +124,15 @@ def mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda acc, t: F.struct(
             (acc["pos"] + F.length(t) + 1).alias("pos"),
-            F.array_append(
-                acc["arr"], F.struct(t.alias("surface"), acc["pos"].alias("start"))
-            ).alias("arr"),
+            F.when(
+                t.isin(list(GAZETTEER)),
+                F.array_append(
+                    acc["arr"],
+                    F.struct(t.alias("surface"), acc["pos"].alias("start")),
+                ),
+            )
+            .otherwise(acc["arr"])
+            .alias("arr"),
         ),
         lambda acc: acc["arr"],
     )
@@ -136,7 +145,7 @@ def mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.start").cast("long").alias("start"),
     )
     return (
-        exploded.where(F.col("surface").isin(list(GAZETTEER)))
+        exploded
         .withColumn("end", (F.col("start") + F.length("surface")).cast("long"))
         .withColumn("label", _gaz_label_col())
     )
@@ -365,9 +374,10 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 def q_kg_pr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P/R/F1 machinery check: 'pred' = distance<=20 relations vs 'gold' =
     distance<=40 (perfect precision, partial recall by construction).
-    Both sides derive from ONE materialized distance-annotated pair table —
-    recomputing the mention chain per side doubled the bench cost."""
-    base = _relations_with_distance_df(spark, sf_dir, 40).localCheckpoint()
+    Both sides derive from ONE distance-annotated pair table, checkpointed
+    lazily — recomputing the mention chain per side doubled the bench cost,
+    and an eager checkpoint pins blocks before they're needed."""
+    base = _relations_with_distance_df(spark, sf_dir, 40).localCheckpoint(eager=False)
     gold = base.drop("distance")
     pred = base.where(F.col("distance") <= 20).drop("distance")
     key = ["doc_id", "head_start", "tail_start", "label"]
@@ -443,6 +453,10 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     base = (
         ensure_parallelism(docs)
+        # drop docs shorter than the shingle width — keeps the Spark side in
+        # lockstep with the oracle's WHERE length(normalized) >= 5 (the
+        # operator's [text] fallback for sub-shingle docs has no SQL twin)
+        .where(F.length(normalize_text(F.col("text"))) >= 5)
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             char_shingles_col(normalize_text(F.col("text")), 5).alias("sh"),
@@ -481,7 +495,10 @@ FROM base
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").where(
+        # mirror the oracle's length(normalized) >= 5 guard (see signatures)
+        F.length(normalize_text(F.col("text"))) >= 5
+    )
     return minhash_lsh_pairs(
         docs, "doc_id", "text", shingle_k=5, num_hashes=16, band_size=4,
         jaccard_threshold=0.5,
@@ -643,7 +660,9 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("nid"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
     )
-    bits = hyperplane_signature_cols(F.col("vec"), 8)
+    # dim=64 (the embeddings table's fixed dimension): the ±1 weights are
+    # plan literals, not 512 md5 calls per row
+    bits = hyperplane_signature_cols(F.col("vec"), 8, dim=64)
     sig = base.select("nid", F.concat_ws("", *bits).alias("bucket"))
     return sig.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
 
@@ -715,8 +734,20 @@ FROM ranked WHERE rnk <= 5
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dups blocked by the 8-plane LSH bucket — all-pairs only
+    WITHIN a signature bucket. Blocking on a low-cardinality column (label)
+    is O(B^2) per block at corpus scale; the LSH bucket keeps blocks small
+    and similarity-homogeneous, which is the 100 TB shape."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, threshold=0.30, block_col="label").select(
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("nid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+    )
+    bits = hyperplane_signature_cols(F.col("vec"), 8, dim=64)
+    sig = base.select("nid", "vec", F.concat_ws("", *bits).alias("bucket"))
+    return embedding_near_duplicates(
+        sig, threshold=0.30, block_col="bucket", id_col="nid", vec_col="vec"
+    ).select(
         "block",
         F.col("src_id").cast("long"),
         F.col("dst_id").cast("long"),
@@ -724,16 +755,16 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_NEAR_DUP_ORACLE = """
+EMB_NEAR_DUP_ORACLE = f"""
 WITH base AS (
-  SELECT CAST(label AS VARCHAR) AS block, vec_id::BIGINT AS nid,
-         embedding::DOUBLE[] AS v
-  FROM embeddings
+  SELECT vec_id::BIGINT AS nid, embedding::DOUBLE[] AS v FROM embeddings
+), sig AS (
+  SELECT ({_proj_sql}) AS block, nid, v FROM base
 )
 SELECT a.block, a.nid AS src_id, b.nid AS dst_id,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-FROM base a JOIN base b ON a.block = b.block AND a.nid < b.nid
+FROM sig a JOIN sig b ON a.block = b.block AND a.nid < b.nid
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.30
 """
@@ -1302,6 +1333,103 @@ GROUP BY 1, 2, 3
 
 # ------------------------------------------------------------- registry
 
+# ------------------------------------------------------- pointer-net codec
+
+POINTER_VOCAB = None  # built lazily (import cost) in q_kg_pointer_roundtrip
+
+
+def _pointer_vocab():
+    global POINTER_VOCAB
+    if POINTER_VOCAB is None:
+        from .functions.pointer_codec import PointerVocab
+
+        POINTER_VOCAB = PointerVocab(
+            span_labels=tuple(sorted(set(GAZETTEER.values()))),
+            relation_labels=tuple(sorted(set(RELATION_RULES.values()))),
+        )
+    return POINTER_VOCAB
+
+
+def _full_relations_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relations with both argument spans fully materialized (start, end,
+    label per side) — the pointer codec's input shape."""
+    rels = _relations_df(spark, sf_dir, MAX_REL_DISTANCE)
+    return rels.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("head_start").cast("long"),
+        (F.col("head_start") + F.length("head_surface"))
+        .cast("long")
+        .alias("head_end"),
+        _gaz_label_col(F.col("head_surface")).alias("head_label"),
+        F.col("tail_start").cast("long"),
+        (F.col("tail_start") + F.length("tail_surface"))
+        .cast("long")
+        .alias("tail_end"),
+        _gaz_label_col(F.col("tail_surface")).alias("tail_label"),
+        "label",
+    )
+
+
+def q_kg_pointer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-network codec round-trip: relations are linearized into
+    per-document target-id sequences JVM-side (pointer_target_ids: label
+    CASE map + array arithmetic + one groupBy), then parsed back through
+    the resumable Python codec (mapInPandas). Lossless on well-formed
+    relations, so the decoded set equals the input relation set — which is
+    what the SQL oracle computes directly."""
+    from .operators.pointer_ops import parse_pointer_targets, pointer_target_ids
+
+    vocab = _pointer_vocab()
+    full = _full_relations_df(spark, sf_dir)
+    targets = pointer_target_ids(full, vocab, mode="tail_head_label")
+    parsed = parse_pointer_targets(targets, vocab, mode="tail_head_label")
+    return parsed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("head_start").cast("long"),
+        F.col("head_end").cast("long"),
+        "head_label",
+        F.col("tail_start").cast("long"),
+        F.col("tail_end").cast("long"),
+        "tail_label",
+        "label",
+    )
+
+
+POINTER_ROUNDTRIP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS surface,
+         generate_subscripts(string_split(text,' '), 1) AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id::BIGINT AS doc_id, surface,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+), mentions AS (
+  SELECT doc_id, surface, start, {_gaz_case_sql()} AS label
+  FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), pairs AS (
+  SELECT h.doc_id,
+         h.start AS head_start,
+         (h.start + length(h.surface))::BIGINT AS head_end,
+         h.label AS head_label,
+         t.start AS tail_start,
+         (t.start + length(t.surface))::BIGINT AS tail_end,
+         t.label AS tail_label
+  FROM mentions h JOIN mentions t
+    ON h.doc_id = t.doc_id
+   AND NOT (h.start = t.start AND h.label = t.label)
+   AND h.start + length(h.surface) <= t.start
+   AND t.start - (h.start + length(h.surface)) <= {MAX_REL_DISTANCE}
+)
+SELECT doc_id, head_start, head_end, head_label,
+       tail_start, tail_end, tail_label,
+       {_rule_case_sql()} AS label
+FROM pairs
+WHERE {_rule_case_sql()} IS NOT NULL
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # KG construction
     "kg_mentions": (q_kg_mentions, MENTIONS_ORACLE),
@@ -1343,4 +1471,6 @@ QUERIES: dict[str, tuple] = {
     # JSON scalar functions + agg-over-subquery
     "events_json_props": (q_events_json_props, EVENTS_JSON_ORACLE),
     "tpch_big_orders": (q_tpch_big_orders, BIG_ORDERS_ORACLE),
+    # pointer-network codec (encode JVM-side, resumable parse in Arrow UDF)
+    "kg_pointer_roundtrip": (q_kg_pointer_roundtrip, POINTER_ROUNDTRIP_ORACLE),
 }

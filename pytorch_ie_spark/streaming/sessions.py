@@ -102,8 +102,15 @@ def stream_windowed_counts(
             "n_events",
         )
     )
+    # 'update' mode: the watermark can finalize and DROP expired window
+    # state, so the job really runs incrementally (state bounded by the
+    # watermark horizon). 'complete' would retain every window forever and
+    # re-emit the full result each trigger; 'append' emits nothing on a
+    # finite file source because the watermark never passes the last window.
+    # The memory sink accumulates each trigger's updated rows — readers take
+    # the latest row per (window_start, event_type).
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)

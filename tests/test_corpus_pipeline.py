@@ -102,6 +102,22 @@ def test_fused_equals_modular_relations(spark, pipeline_outputs):
     assert a == b
 
 
+def test_batched_equals_modular_relations(spark, pipeline_outputs):
+    """The batched (one-Python-call-per-Arrow-batch) relation stage — the
+    pipeline default — must produce exactly the relations of the modular
+    path."""
+    from pytorch_ie_spark.operators.relations import extract_relations_batched
+
+    docs, mentions, relations = pipeline_outputs
+    batched = extract_relations_batched(
+        docs, mentions, model_name="rule_re", max_distance=200
+    )
+    key = ["doc_id", "head_mention_id", "tail_mention_id", "label"]
+    a = sorted(map(tuple, batched.select(*key).collect()))
+    b = sorted(map(tuple, relations.select(*key).collect()))
+    assert a == b
+
+
 def test_fused_extract_equals_staged(spark, pipeline_outputs):
     """The single-pass fused extractor must emit the same triples as the
     staged mentions->candidates->relations->triples chain."""

@@ -62,11 +62,16 @@ def test_window_coverage_property(seq_len, max_size, overlap):
         return
     ws = enumerate_windows(seq_len, max_size, overlap)
     covered = set()
+    n_labeled = 0
     for (ts, te), (ls, le) in ws:
         assert 0 <= ts <= te <= seq_len
         assert te - ts <= max_size
+        assert 0 <= ls <= le <= te - ts
         covered.update(range(ts + ls, ts + le))
+        n_labeled += le - ls
+    # exactly-once: full coverage AND no position labeled twice
     assert covered == set(range(seq_len))
+    assert n_labeled == seq_len
 
 
 @given(st.text(alphabet=" abcXYZ.,!德языки", max_size=80))

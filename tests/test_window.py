@@ -12,16 +12,25 @@ def test_enumerate_windows_no_overlap():
 
 def test_enumerate_windows_with_overlap():
     ws = enumerate_windows(12, 6, 2)
-    # label slices cover every position; the reference's end-of-sequence
-    # adjustment (window.py 'if token_end_idx == len') can label tail tokens
-    # in two windows — downstream dedup handles that, so the contract is
-    # full coverage, not exactly-once (matches reference behavior)
+    # label slices cover every position exactly once (the extractor's
+    # docstring promises exactly-once labeling; a prior version emitted a
+    # duplicate trailing window when tok_end hit seq_len early)
     covered = []
     for (ts, te), (ls, le) in ws:
         covered.extend(range(ts + ls, ts + le))
-    assert set(covered) == set(range(12))
+    assert sorted(covered) == list(range(12))
     # interior windows carry `overlap` tokens of context
     assert ws[1][0][0] < ws[0][0][1]
+
+
+def test_enumerate_windows_no_duplicate_trailing_window():
+    # regression: seq_len=209 / max=128 / overlap=16 used to emit a third
+    # window re-labeling position 208
+    ws = enumerate_windows(209, 128, 16)
+    covered = []
+    for (ts, te), (ls, le) in ws:
+        covered.extend(range(ts + ls, ts + le))
+    assert sorted(covered) == list(range(209))
 
 
 def test_enumerate_windows_short_seq_single_window():
