@@ -1,0 +1,139 @@
+"""Cross-text binary coreference: text-pair construction + span-pair
+similarity scoring, as pure DataFrame expressions.
+
+Reference analog: CrossTextBinaryCorefTaskModule
+(src/pytorch_ie/taskmodules/cross_text_binary_coref.py:145-212): pairs of
+(span in text, span in text_pair), each side's encoding truncated to a
+window centered on its span (get_window_around_slice), scored for
+similarity with a threshold decision.
+
+Spark-first re-expression for corpus scale:
+
+  - candidate pairs are a BLOCKED cross-document self-join — never a cross
+    join. The default block is the normalized surface form (coref
+    candidates share a surface); any blocking column works, e.g. a
+    MinHash-LSH band from operators/canonicalize.py for fuzzy-surface
+    blocking,
+  - the context window around each span is the same centered-window
+    arithmetic as functions/window.window_around_slice, inlined as
+    JVM-side expressions (floor/clamp/shift) in char space (the sandbox's
+    tokenizer-free stand-in for the reference's token windows),
+  - the similarity model is a deterministic char-shingle Jaccard over the
+    two context windows (engine-portable, so the whole operator is
+    oracle-checkable; a transformer pair-encoder would slot into the same
+    pair table via mapInPandas),
+  - spans longer than the window are dropped, mirroring the reference's
+    SpanDoesNotFitIntoAvailableWindow skip (observable via
+    `coref_skipped_spans`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .canonicalize import char_shingles_col, normalize_surface
+
+
+def centered_window_cols(
+    start, end, length, max_window: int
+) -> tuple[Column, Column]:
+    """(win_start, win_end) of a max_window-wide window centered on
+    [start, end), clamped/shifted at the boundaries — the exact
+    window_around_slice contract as whole-stage-codegen expressions."""
+    size = F.least(length, F.lit(max_window))
+    raw_start = F.floor((start + end) / 2.0 - size / 2.0).cast("long")
+    raw_end = raw_start + size
+    # shift left if the window spills past the end, then right if past 0
+    over = F.greatest(F.lit(0), raw_end - length)
+    s1, e1 = raw_start - over, raw_end - over
+    under = F.greatest(F.lit(0), -s1)
+    return (s1 + under).cast("long"), (e1 + under).cast("long")
+
+
+def coref_text_pairs(
+    documents: DataFrame,
+    mentions: DataFrame,
+    max_window: int = 32,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cross-document coref candidate pairs with similarity scores.
+
+    documents: (doc_id, text); mentions: (doc_id, start, end, surface).
+    Returns one row per (doc_id < doc_id_pair) pair of same-block mentions:
+      (block, doc_id, start, doc_id_pair, start_pair, score, is_similar)
+
+    One mention per (doc, block) is kept (the first by offset) so a
+    surface repeated within a document doesn't multiply pairs — pair
+    multiplicity is cross-document, like the reference's text-pair
+    documents. Spans wider than max_window are skipped (see module doc).
+    """
+    block = (
+        F.col(block_col)
+        if block_col
+        else normalize_surface(F.col("surface")).alias("block")
+    )
+    m = mentions.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        block if block_col is None else F.col(block_col).alias("block"),
+    ).where((F.col("end") - F.col("start")) <= max_window)
+    # first mention per (doc, block): min struct by (start, end)
+    firsts = m.groupBy("doc_id", "block").agg(
+        F.min(F.struct("start", "end")).alias("m")
+    ).select("doc_id", "block", F.col("m.start").alias("start"), F.col("m.end").alias("end"))
+    docs = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"),
+        F.length("text").cast("long").alias("_len"),
+    )
+    with_ctx = firsts.join(docs, "doc_id")
+    ws, we = centered_window_cols(
+        F.col("start"), F.col("end"), F.col("_len"), max_window
+    )
+    ctx = F.substring(
+        F.col("text"), (ws + 1).cast("int"), (we - ws).cast("int")
+    )
+    sided = with_ctx.select(
+        "block",
+        "doc_id",
+        "start",
+        char_shingles_col(ctx, shingle_k).alias("ctx_sh"),
+    )
+    a = sided
+    b = sided.select(
+        F.col("block").alias("block2"),
+        F.col("doc_id").alias("doc_id_pair"),
+        F.col("start").alias("start_pair"),
+        F.col("ctx_sh").alias("ctx_sh_pair"),
+    )
+    pairs = a.join(
+        b,
+        (a.block == b.block2) & (F.col("doc_id") < F.col("doc_id_pair")),
+    )
+    inter = F.size(F.array_intersect(F.col("ctx_sh"), F.col("ctx_sh_pair")))
+    union = F.size("ctx_sh") + F.size("ctx_sh_pair") - inter
+    score = F.round(inter / union, 6)
+    return pairs.select(
+        "block",
+        "doc_id",
+        "start",
+        "doc_id_pair",
+        "start_pair",
+        score.alias("score"),
+        (score >= threshold).alias("is_similar"),
+    )
+
+
+def coref_skipped_spans(
+    mentions: DataFrame, max_window: int = 32
+) -> DataFrame:
+    """Mentions the pair builder drops because the span itself exceeds the
+    window (the reference's skipped_span_does_not_fit_into_window
+    counter, as an auditable DataFrame)."""
+    return mentions.where(
+        (F.col("end") - F.col("start")) > max_window
+    ).select("doc_id", "start", "end", "surface")

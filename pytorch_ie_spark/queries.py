@@ -1333,6 +1333,88 @@ GROUP BY 1, 2, 3
 
 # ------------------------------------------------------------- registry
 
+# ------------------------------------------------------------- coref pairs
+
+COREF_DOC_MOD = 17  # sample 1/17 of documents: pair volume is quadratic per
+# block, and the oracle compare materializes every pair
+
+
+def q_kg_coref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document coref candidates: same-surface mentions across
+    different docs, each side's context = a centered window around the
+    span (window_around_slice arithmetic, JVM-side), scored by context
+    shingle Jaccard. Blocked self-join — never a cross join."""
+    from .operators.coref import coref_text_pairs
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % COREF_DOC_MOD == 0
+    )
+    m = mentions_df(spark, sf_dir).where(
+        F.col("doc_id") % COREF_DOC_MOD == 0
+    )
+    return coref_text_pairs(
+        docs, m, max_window=32, shingle_k=3, threshold=0.5
+    )
+
+
+COREF_PAIRS_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id::BIGINT AS doc_id, text, length(text)::BIGINT AS len
+  FROM documents WHERE doc_id % {COREF_DOC_MOD} = 0
+), toks AS (
+  SELECT doc_id, text, len,
+         unnest(string_split(text,' ')) AS surface,
+         generate_subscripts(string_split(text,' '), 1) AS ord
+  FROM docs
+), pos AS (
+  SELECT doc_id, text, len, surface,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+), mentions AS (
+  SELECT doc_id, text, len, surface, start,
+         (start + length(surface))::BIGINT AS "end"
+  FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), firsts AS (
+  SELECT doc_id, text, len, surface AS block, start, "end"
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id, surface ORDER BY start, "end") AS rn
+    FROM mentions
+  ) WHERE rn = 1
+), windowed AS (
+  SELECT doc_id, block, start,
+         least(len, 32) AS size,
+         floor((start + "end") / 2.0 - least(len, 32) / 2.0)::BIGINT AS raw_start,
+         len, text
+  FROM firsts
+), shifted AS (
+  SELECT doc_id, block, start, size, len, text,
+         raw_start - greatest(0, raw_start + size - len) AS s1
+  FROM windowed
+), ctx AS (
+  SELECT doc_id, block, start,
+         substr(text, (s1 + greatest(0, -s1) + 1)::INT, size::INT) AS win
+  FROM shifted
+), sh AS (
+  SELECT doc_id, block, start,
+         list_distinct(list_transform(
+           generate_series(1, length(win) - 2),
+           i -> substr(win, i, 3))) AS ctx_sh
+  FROM ctx
+)
+SELECT a.block, a.doc_id, a.start,
+       b.doc_id AS doc_id_pair, b.start AS start_pair,
+       round(len(list_intersect(a.ctx_sh, b.ctx_sh))::DOUBLE
+             / (len(a.ctx_sh) + len(b.ctx_sh)
+                - len(list_intersect(a.ctx_sh, b.ctx_sh))), 6) AS score,
+       (len(list_intersect(a.ctx_sh, b.ctx_sh))::DOUBLE
+        / (len(a.ctx_sh) + len(b.ctx_sh)
+           - len(list_intersect(a.ctx_sh, b.ctx_sh))) >= 0.5) AS is_similar
+FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+"""
+
+
 # ------------------------------------------------------- pointer-net codec
 
 POINTER_VOCAB = None  # built lazily (import cost) in q_kg_pointer_roundtrip
@@ -1473,4 +1555,6 @@ QUERIES: dict[str, tuple] = {
     "tpch_big_orders": (q_tpch_big_orders, BIG_ORDERS_ORACLE),
     # pointer-network codec (encode JVM-side, resumable parse in Arrow UDF)
     "kg_pointer_roundtrip": (q_kg_pointer_roundtrip, POINTER_ROUNDTRIP_ORACLE),
+    # cross-text coref text pairs (blocked cross-doc join + windowed context)
+    "kg_coref_pairs": (q_kg_coref_pairs, COREF_PAIRS_ORACLE),
 }
