@@ -54,6 +54,61 @@ def enumerate_windows(
     return windows
 
 
+def enumerate_windows_col(seq_len_col, max_size: int, overlap: int = 0):
+    """`enumerate_windows` as a JVM-side array expression (one
+    array<struct> per row, no Python): window k of a sequence of length L
+    has the closed form
+
+        k = 0:  tok_start = 0
+        k >= 1: tok_start = (max_size - overlap) + (k-1)*stride - overlap
+        tok_end = min(tok_start + max_size, L)
+        label_end = L if tok_end == L else tok_end - overlap
+        rel_start = 0 if k == 0 else overlap
+
+    with stride = max_size - 2*overlap. The last window is the first k
+    whose tok_end reaches L, so for L > max_size
+    n = 1 + ceil((L - overlap - (max_size - overlap)) / stride)
+      = 1 + ceil((L - max_size) / stride)
+    windows (single full window otherwise). Verified against the Python
+    loop in tests/test_window.py."""
+    from pyspark.sql import functions as F
+
+    if max_size <= 2 * overlap:
+        raise ValueError("max_size must exceed 2*overlap")
+    stride = max_size - 2 * overlap
+    first_adv = max_size - overlap
+    L = seq_len_col.cast("long")
+    n_extra = F.ceil((L - F.lit(max_size)) / F.lit(stride)).cast("long")
+    n = F.when(L <= max_size, F.lit(1)).otherwise(1 + n_extra)
+
+    def win(k):
+        tok_start = F.when(k == 0, F.lit(0).cast("long")).otherwise(
+            F.lit(first_adv) + (k - 1) * F.lit(stride) - F.lit(overlap)
+        )
+        tok_end = F.least(tok_start + max_size, L)
+        label_end = F.when(tok_end == L, L).otherwise(tok_end - overlap)
+        rel_start = F.when(k == 0, F.lit(0).cast("long")).otherwise(
+            F.lit(overlap).cast("long")
+        )
+        return F.struct(
+            tok_start.alias("tok_start"),
+            tok_end.alias("tok_end"),
+            rel_start.alias("rel_start"),
+            (label_end - tok_start).alias("rel_end"),
+        )
+
+    single = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("tok_start"),
+            L.alias("tok_end"),
+            F.lit(0).cast("long").alias("rel_start"),
+            L.alias("rel_end"),
+        )
+    )
+    multi = F.transform(F.sequence(F.lit(0).cast("long"), n - 1), win)
+    return F.when(L <= max_size, single).otherwise(multi)
+
+
 def window_around_slice(
     required: tuple[int, int], max_window_size: int, available_len: int
 ) -> Optional[tuple[int, int]]:

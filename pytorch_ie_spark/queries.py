@@ -1333,6 +1333,301 @@ GROUP BY 1, 2, 3
 
 # ------------------------------------------------------------- registry
 
+# ------------------------------------------ oracle exposure of §2 operators
+
+PART_W = 80  # synthesized fixed-width char partitions ("sentences")
+
+
+def q_kg_partition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-partition filter with observable drops: documents get
+    synthesized fixed-width sentence partitions, mentions are assigned by
+    containment (range join), and relations whose args straddle partitions
+    are counted as dropped per label (the reference logs each drop)."""
+    from .operators.partitions import filter_relations_within_partition
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_parts = F.greatest(
+        F.ceil(F.col("n_chars") / PART_W).cast("int"), F.lit(1)
+    )
+    docs2 = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), n_parts - 1),
+            lambda i: F.struct(
+                (i * PART_W).cast("long").alias("start"),
+                F.least((i + 1).cast("long") * PART_W, F.col("n_chars"))
+                .cast("long")
+                .alias("end"),
+            ),
+        ).alias("sentences"),
+    )
+    m = mentions_df(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws("|", "doc_id", "start", "end", "label").alias("mention_id"),
+        "start",
+        "end",
+        "label",
+        "surface",
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(1.0).alias("score"),
+        F.lit("pred").alias("source"),
+    )
+    pairs = candidate_pairs(m, max_distance=MAX_REL_DISTANCE, distance_mode="inner")
+    rels = (
+        pairs.where(F.col("head_end") <= F.col("tail_start"))
+        .withColumn("label", _rule_label_col())
+        .where(F.col("label").isNotNull())
+    )
+    kept, dropped = filter_relations_within_partition(rels, m, docs2)
+    k = kept.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    d = dropped.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped")
+    )
+    return (
+        k.join(d, "label", "full")
+        .select(
+            "label",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+PARTITION_FILTER_ORACLE = f"""
+WITH rels AS ({_relations_oracle(MAX_REL_DISTANCE)}),
+-- fixed-width partitions: a mention is contained iff its start and its
+-- last char land in the same chunk
+parts AS (
+  SELECT *,
+    CASE WHEN head_start // {PART_W}
+            = (head_start + length(head_surface) - 1) // {PART_W}
+         THEN head_start // {PART_W} END AS head_part,
+    CASE WHEN tail_start // {PART_W}
+            = (tail_start + length(tail_surface) - 1) // {PART_W}
+         THEN tail_start // {PART_W} END AS tail_part
+  FROM rels
+)
+SELECT label,
+  count(*) FILTER (head_part IS NOT NULL AND tail_part IS NOT NULL
+                   AND head_part = tail_part)::BIGINT AS n_kept,
+  count(*) FILTER (head_part IS NULL OR tail_part IS NULL
+                   OR head_part != tail_part)::BIGINT AS n_dropped
+FROM parts GROUP BY 1
+"""
+
+
+DUP_LABEL = "engine:supports_op"
+
+
+def q_kg_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-argument resolution keep_first / keep_none: candidates
+    with label {DUP_LABEL} are injected twice (two 'sources'); keep_first
+    must collapse them back to one row per key, keep_none must drop the
+    whole duplicated group."""
+    from .operators.candidates import resolve_duplicate_candidates
+
+    rels = _relations_df(spark, sf_dir, MAX_REL_DISTANCE).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws("|", "doc_id", "head_start").alias("head_mention_id"),
+        F.concat_ws("|", "doc_id", "tail_start").alias("tail_mention_id"),
+        F.col("head_start").cast("long"),
+        F.col("tail_start").cast("long"),
+        "label",
+    )
+    dup = rels.where(F.col("label") == DUP_LABEL)
+    both = rels.unionByName(dup)
+    out_cols = ["doc_id", "head_start", "tail_start", "label"]
+    first = resolve_duplicate_candidates(both, "keep_first").select(*out_cols)
+    none = resolve_duplicate_candidates(both, "keep_none").select(*out_cols)
+    return first.withColumn("policy", F.lit("keep_first")).unionByName(
+        none.withColumn("policy", F.lit("keep_none"))
+    )
+
+
+DEDUP_POLICY_ORACLE = f"""
+WITH rels AS ({_relations_oracle(MAX_REL_DISTANCE)})
+SELECT doc_id, head_start, tail_start, label, 'keep_first' AS policy
+FROM rels
+UNION ALL
+SELECT doc_id, head_start, tail_start, label, 'keep_none' AS policy
+FROM rels WHERE label != '{DUP_LABEL}'
+"""
+
+
+def q_window_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """enumerate_windows (exactly-once labeling) as a JVM-side closed form
+    over every distinct document length — the operator the long-document
+    extractor tiles with (max 128, overlap 16)."""
+    from .functions.window import enumerate_windows_col
+
+    docs = read_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        F.col("n_chars").cast("long").alias("seq_len")
+    ).dropDuplicates(["seq_len"])
+    return lens.select(
+        "seq_len",
+        F.posexplode(enumerate_windows_col(F.col("seq_len"), 128, 16)).alias(
+            "widx", "w"
+        ),
+    ).select(
+        "seq_len",
+        F.col("widx").cast("long").alias("widx"),
+        F.col("w.tok_start").alias("tok_start"),
+        F.col("w.tok_end").alias("tok_end"),
+        F.col("w.rel_start").alias("rel_start"),
+        F.col("w.rel_end").alias("rel_end"),
+    )
+
+
+WINDOW_SLICES_ORACLE = """
+WITH lens AS (SELECT DISTINCT n_chars::BIGINT AS seq_len FROM documents),
+counted AS (
+  SELECT seq_len,
+    CASE WHEN seq_len <= 128 THEN 1
+         ELSE 1 + ceil((seq_len - 128) / 96.0)::BIGINT END AS nw
+  FROM lens
+), ks AS (
+  SELECT seq_len, unnest(generate_series(0, nw - 1))::BIGINT AS widx
+  FROM counted
+), spans AS (
+  SELECT seq_len, widx,
+    (CASE WHEN widx = 0 THEN 0 ELSE 112 + (widx - 1) * 96 - 16 END)::BIGINT
+      AS tok_start
+  FROM ks
+), ends AS (
+  SELECT seq_len, widx, tok_start,
+         least(tok_start + 128, seq_len)::BIGINT AS tok_end
+  FROM spans
+)
+SELECT seq_len, widx, tok_start, tok_end,
+  (CASE WHEN widx = 0 THEN 0 ELSE 16 END)::BIGINT AS rel_start,
+  ((CASE WHEN tok_end = seq_len THEN seq_len ELSE tok_end - 16 END)
+   - tok_start)::BIGINT AS rel_end
+FROM ends
+"""
+
+
+def q_seq2seq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generative-RE codec round-trip: relations linearize per document to
+    '<triplet> head <subj> tail <obj> label' strings (head-grouped,
+    JVM-side fold over the canonically sorted relation array), then the
+    resumable state-machine parse (mapInPandas) recovers the triplets."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .functions.seq2seq import parse_triplets
+
+    rels = _relations_df(spark, sf_dir, MAX_REL_DISTANCE)
+    sorted_arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("head_start").alias("k1"),
+                F.col("tail_start").alias("k2"),
+                F.struct(
+                    F.col("head_surface").alias("h"),
+                    F.col("tail_surface").alias("t"),
+                    F.col("label").alias("l"),
+                ).alias("t"),
+            )
+        )
+    )
+    lin = F.aggregate(
+        sorted_arr,
+        F.struct(F.lit("").alias("head"), F.lit("").alias("s")),
+        lambda acc, x: F.struct(
+            x["t"]["h"].alias("head"),
+            F.concat(
+                acc["s"],
+                F.when(
+                    x["t"]["h"] != acc["head"],
+                    F.concat(F.lit(" <triplet> "), x["t"]["h"]),
+                ).otherwise(F.lit("")),
+                F.lit(" <subj> "),
+                x["t"]["t"],
+                F.lit(" <obj> "),
+                x["t"]["l"],
+            ).alias("s"),
+        ),
+        lambda acc: F.ltrim(acc["s"]),
+    )
+    linearized = rels.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+        lin.alias("lin")
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, s in zip(pdf["doc_id"], pdf["lin"]):
+                for h, t, l in parse_triplets(s):
+                    rows.append((doc_id, h, t, l))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "head_text", "tail_text", "label"]
+            )
+
+    return linearized.mapInPandas(
+        parse, schema="doc_id long, head_text string, tail_text string, label string"
+    )
+
+
+SEQ2SEQ_ROUNDTRIP_ORACLE = f"""
+WITH rels AS ({_relations_oracle(MAX_REL_DISTANCE)})
+SELECT doc_id, head_surface AS head_text, tail_surface AS tail_text, label
+FROM rels
+"""
+
+
+def q_corpus_brat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRAT standoff parse path: T-lines are synthesized from the gazetteer
+    mentions (deterministic fixture), then parsed back through the same
+    rlike + regexp_extract pipeline the file reader uses."""
+    from .sources.corpus_formats import brat_entities_from_lines
+
+    m = mentions_df(spark, sf_dir)
+    lines = m.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("T"),
+            F.col("start"),
+            F.lit("\t"),
+            F.col("label"),
+            F.lit(" "),
+            F.col("start"),
+            F.lit(" "),
+            F.col("end"),
+            F.lit("\t"),
+            F.col("surface"),
+        ).alias("line"),
+    )
+    parsed = brat_entities_from_lines(lines)
+    return parsed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "ann_id",
+        "label",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "surface",
+    )
+
+
+CORPUS_BRAT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS surface,
+         generate_subscripts(string_split(text,' '), 1) AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id::BIGINT AS doc_id, surface,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+)
+SELECT doc_id, 'T' || CAST(start AS VARCHAR) AS ann_id,
+       {_gaz_case_sql()} AS label, start,
+       (start + length(surface))::BIGINT AS "end", surface
+FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+"""
+
+
 # ------------------------------------------------------------- coref pairs
 
 COREF_DOC_MOD = 17  # sample 1/17 of documents: pair volume is quadratic per
@@ -1557,4 +1852,11 @@ QUERIES: dict[str, tuple] = {
     "kg_pointer_roundtrip": (q_kg_pointer_roundtrip, POINTER_ROUNDTRIP_ORACLE),
     # cross-text coref text pairs (blocked cross-doc join + windowed context)
     "kg_coref_pairs": (q_kg_coref_pairs, COREF_PAIRS_ORACLE),
+    # §2 operator exposure: partition filter, dup policy, window math,
+    # seq2seq codec, BRAT standoff parse
+    "kg_partition_filter": (q_kg_partition_filter, PARTITION_FILTER_ORACLE),
+    "kg_dedup_policy": (q_kg_dedup_policy, DEDUP_POLICY_ORACLE),
+    "window_slices": (q_window_slices, WINDOW_SLICES_ORACLE),
+    "seq2seq_roundtrip": (q_seq2seq_roundtrip, SEQ2SEQ_ROUNDTRIP_ORACLE),
+    "corpus_brat": (q_corpus_brat, CORPUS_BRAT_ORACLE),
 }

@@ -38,6 +38,25 @@ def read_brat_documents(spark: SparkSession, corpus_dir: str) -> DataFrame:
     )
 
 
+BRAT_ENTITY_PATTERN = r"^(T\d+)\t(\S+) (\d+) (\d+)\t(.*)$"
+
+
+def brat_entities_from_lines(lines: DataFrame) -> DataFrame:
+    """Parse BRAT T-lines from a (doc_id, line) DataFrame — the shared core
+    of the file reader, also usable on standoff text from any source
+    (Kafka payloads, a column in a lake table, synthesized fixtures)."""
+    pat = BRAT_ENTITY_PATTERN
+    t = lines.where(F.col("line").rlike(pat))
+    return t.select(
+        "doc_id",
+        F.regexp_extract("line", pat, 1).alias("ann_id"),
+        F.regexp_extract("line", pat, 2).alias("label"),
+        F.regexp_extract("line", pat, 3).cast("int").alias("start"),
+        F.regexp_extract("line", pat, 4).cast("int").alias("end"),
+        F.regexp_extract("line", pat, 5).alias("surface"),
+    )
+
+
 def read_brat_entities(spark: SparkSession, corpus_dir: str) -> DataFrame:
     """(doc_id, ann_id, label, start, end, surface) from T lines.
 
@@ -49,16 +68,7 @@ def read_brat_entities(spark: SparkSession, corpus_dir: str) -> DataFrame:
         _doc_id_from_file(F.input_file_name()).alias("doc_id"),
         F.explode(F.split(F.col("value"), "\n")).alias("line"),
     )
-    pat = r"^(T\d+)\t(\S+) (\d+) (\d+)\t(.*)$"
-    t = lines.where(F.col("line").rlike(pat))
-    return t.select(
-        "doc_id",
-        F.regexp_extract("line", pat, 1).alias("ann_id"),
-        F.regexp_extract("line", pat, 2).alias("label"),
-        F.regexp_extract("line", pat, 3).cast("int").alias("start"),
-        F.regexp_extract("line", pat, 4).cast("int").alias("end"),
-        F.regexp_extract("line", pat, 5).alias("surface"),
-    )
+    return brat_entities_from_lines(lines)
 
 
 def read_brat_relations(spark: SparkSession, corpus_dir: str) -> DataFrame:

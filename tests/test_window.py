@@ -37,6 +37,34 @@ def test_enumerate_windows_short_seq_single_window():
     assert enumerate_windows(5, 128, 16) == [((0, 5), (0, 5))]
 
 
+def test_enumerate_windows_col_matches_python(spark):
+    """The closed-form JVM expression must reproduce the Python loop for
+    every length across several (max_size, overlap) shapes."""
+    from pyspark.sql import functions as F
+
+    from pytorch_ie_spark.functions.window import enumerate_windows_col
+
+    lengths = list(range(1, 420)) + [1023, 1199, 4096]
+    for max_size, overlap in [(128, 16), (64, 0), (16, 5), (300, 120)]:
+        df = spark.createDataFrame([(l,) for l in lengths], "seq_len long")
+        rows = df.select(
+            "seq_len",
+            enumerate_windows_col(
+                F.col("seq_len"), max_size, overlap
+            ).alias("ws"),
+        ).collect()
+        for r in rows:
+            got = [
+                ((w["tok_start"], w["tok_end"]), (w["rel_start"], w["rel_end"]))
+                for w in r["ws"]
+            ]
+            assert got == enumerate_windows(r["seq_len"], max_size, overlap), (
+                r["seq_len"],
+                max_size,
+                overlap,
+            )
+
+
 def test_window_around_slice_centered():
     assert window_around_slice((10, 12), 6, 100) == (8, 14)
 
