@@ -109,6 +109,23 @@ def enumerate_windows_col(seq_len_col, max_size: int, overlap: int = 0):
     return F.when(L <= max_size, single).otherwise(multi)
 
 
+def centered_window_cols(start, end, length, max_window: int):
+    """`window_around_slice` as JVM-side Column expressions: (win_start,
+    win_end) of a max_window-wide window centered on [start, end),
+    clamped/shifted at the boundaries. Exact parity with the Python
+    function below is asserted in tests/test_coref.py."""
+    from pyspark.sql import functions as F
+
+    size = F.least(length, F.lit(max_window))
+    raw_start = F.floor((start + end) / 2.0 - size / 2.0).cast("long")
+    raw_end = raw_start + size
+    # shift left if the window spills past the end, then right if past 0
+    over = F.greatest(F.lit(0), raw_end - length)
+    s1, e1 = raw_start - over, raw_end - over
+    under = F.greatest(F.lit(0), -s1)
+    return (s1 + under).cast("long"), (e1 + under).cast("long")
+
+
 def window_around_slice(
     required: tuple[int, int], max_window_size: int, available_len: int
 ) -> Optional[tuple[int, int]]:

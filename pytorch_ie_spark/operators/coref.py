@@ -29,26 +29,11 @@ Spark-first re-expression for corpus scale:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.window import centered_window_cols
 from .canonicalize import char_shingles_col, normalize_surface
-
-
-def centered_window_cols(
-    start, end, length, max_window: int
-) -> tuple[Column, Column]:
-    """(win_start, win_end) of a max_window-wide window centered on
-    [start, end), clamped/shifted at the boundaries — the exact
-    window_around_slice contract as whole-stage-codegen expressions."""
-    size = F.least(length, F.lit(max_window))
-    raw_start = F.floor((start + end) / 2.0 - size / 2.0).cast("long")
-    raw_end = raw_start + size
-    # shift left if the window spills past the end, then right if past 0
-    over = F.greatest(F.lit(0), raw_end - length)
-    s1, e1 = raw_start - over, raw_end - over
-    under = F.greatest(F.lit(0), -s1)
-    return (s1 + under).cast("long"), (e1 + under).cast("long")
 
 
 def coref_text_pairs(

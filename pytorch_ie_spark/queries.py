@@ -1628,6 +1628,196 @@ FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
 """
 
 
+# -------------------------------------------------- RE encode window/gather
+
+RE_WIN_TOKENS = 8  # deliberately small so sf docs exercise every branch
+
+
+def _token_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed token-space candidate pairs of gazetteer tokens (span =
+    [tok_idx, tok_idx+1)) with the document token count."""
+    from .operators.re_encoding import token_distance_col, token_mentions
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = token_mentions(docs, list(GAZETTEER))
+    lens = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split("text", " ")).cast("long").alias("seq_len"),
+    )
+    h = toks.select(
+        "doc_id",
+        F.col("tok_idx").alias("head_tok_start"),
+        (F.col("tok_idx") + 1).alias("head_tok_end"),
+    )
+    t = toks.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("tok_idx").alias("tail_tok_start"),
+        (F.col("tok_idx") + 1).alias("tail_tok_end"),
+    )
+    pairs = h.join(
+        t,
+        (h.doc_id == t.doc_id2)
+        & (F.col("head_tok_start") < F.col("tail_tok_start")),
+    ).drop("doc_id2")
+    return pairs.join(lens, "doc_id").withColumn(
+        "tok_distance",
+        token_distance_col(
+            F.col("head_tok_start"),
+            F.col("head_tok_end"),
+            F.col("tail_tok_start"),
+            F.col("tail_tok_end"),
+            "inner",
+        ),
+    )
+
+
+def q_kg_re_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-space distance filter + window-around-candidate: candidates
+    within 12 tokens keep a window of {RE_WIN_TOKENS} tokens centered on
+    the (head..tail) required slice; candidates whose required slice
+    exceeds the window are flagged skipped (the reference's
+    skipped_too_long counter), survivors get shifted arg offsets."""
+    from .operators.re_encoding import with_candidate_window
+
+    pairs = _token_pairs_df(spark, sf_dir).where(F.col("tok_distance") <= 12)
+    out = with_candidate_window(pairs, RE_WIN_TOKENS)
+    return out.select(
+        "doc_id",
+        "head_tok_start",
+        "tail_tok_start",
+        F.col("tok_distance").cast("long").alias("tok_distance"),
+        "skipped",
+        "win_start",
+        "win_end",
+        "new_head_start",
+        "new_tail_start",
+    )
+
+
+RE_WINDOWS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(text,' ')) AS surface,
+         (generate_subscripts(string_split(text,' '), 1) - 1)::BIGINT AS tok_idx,
+         len(string_split(text,' '))::BIGINT AS seq_len
+  FROM documents
+), ments AS (
+  SELECT doc_id, tok_idx, seq_len FROM toks
+  WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), pairs AS (
+  SELECT h.doc_id, h.tok_idx AS head_tok_start, t.tok_idx AS tail_tok_start,
+         h.seq_len,
+         greatest(0, t.tok_idx - (h.tok_idx + 1))::BIGINT AS tok_distance
+  FROM ments h JOIN ments t
+    ON h.doc_id = t.doc_id AND h.tok_idx < t.tok_idx
+), filtered AS (
+  SELECT * FROM pairs WHERE tok_distance <= 12
+), req AS (
+  SELECT *, head_tok_start AS rs, (tail_tok_start + 1) AS re_,
+         ((tail_tok_start + 1) - head_tok_start) > {RE_WIN_TOKENS} AS skipped,
+         least(seq_len, {RE_WIN_TOKENS}) AS size
+  FROM filtered
+), win0 AS (
+  SELECT *, floor((rs + re_) / 2.0 - size / 2.0)::BIGINT AS raw_start
+  FROM req
+), win1 AS (
+  SELECT *, raw_start - greatest(0, raw_start + size - seq_len) AS s1
+  FROM win0
+), win AS (
+  SELECT *, s1 + greatest(0, -s1) AS ws FROM win1
+)
+SELECT doc_id, head_tok_start, tail_tok_start, tok_distance, skipped,
+  CASE WHEN NOT skipped THEN ws END AS win_start,
+  CASE WHEN NOT skipped THEN ws + size END AS win_end,
+  CASE WHEN NOT skipped THEN head_tok_start - ws END AS new_head_start,
+  CASE WHEN NOT skipped THEN tail_tok_start - ws END AS new_tail_start
+FROM win
+"""
+
+
+RE_GATHER_TOKENS = 8  # mpa = 8/2 - 1 = 3 tokens per argument frame
+
+
+def q_kg_re_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discontinuous-text gather for far-apart candidates (the ones the
+    window path must skip): per-argument frames, merge-or-glue segments,
+    arg offsets shifted into the gathered sequence."""
+    from .operators.re_encoding import with_discontinuous_frames
+
+    pairs = _token_pairs_df(spark, sf_dir).where(
+        (F.col("tok_distance") > 12) & (F.col("tok_distance") <= 40)
+    )
+    out = with_discontinuous_frames(pairs, RE_GATHER_TOKENS, glue_len=1)
+    return out.select(
+        "doc_id",
+        "head_tok_start",
+        "tail_tok_start",
+        "f1_start",
+        "f1_end",
+        "f2_start",
+        "f2_end",
+        "gathered_len",
+        "new_a_start",
+        "new_b_start",
+    )
+
+
+RE_GATHER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(text,' ')) AS surface,
+         (generate_subscripts(string_split(text,' '), 1) - 1)::BIGINT AS tok_idx,
+         len(string_split(text,' '))::BIGINT AS seq_len
+  FROM documents
+), ments AS (
+  SELECT doc_id, tok_idx, seq_len FROM toks
+  WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), pairs AS (
+  SELECT h.doc_id, h.tok_idx AS head_tok_start, t.tok_idx AS tail_tok_start,
+         h.seq_len,
+         greatest(0, t.tok_idx - (h.tok_idx + 1))::BIGINT AS tok_distance
+  FROM ments h JOIN ments t
+    ON h.doc_id = t.doc_id AND h.tok_idx < t.tok_idx
+), filtered AS (
+  -- args are single tokens: a = head (earlier), b = tail; mpa = 3
+  SELECT doc_id, head_tok_start, tail_tok_start, seq_len
+  FROM pairs WHERE tok_distance > 12 AND tok_distance <= 40
+), f1 AS (
+  SELECT *,
+    CASE WHEN seq_len <= 3 THEN 0 ELSE
+      CASE WHEN greatest(((2*head_tok_start+1)//2) - 1, 0) + 3 > seq_len
+           THEN greatest(seq_len - 3, 0)
+           ELSE greatest(((2*head_tok_start+1)//2) - 1, 0) END END AS f1s
+  FROM filtered
+), f2 AS (
+  SELECT *,
+    CASE WHEN seq_len <= 3 THEN seq_len ELSE least(f1s + 3, seq_len) END AS f1e,
+    CASE WHEN seq_len <= 3 THEN 0 ELSE
+      CASE WHEN greatest(((2*tail_tok_start+1)//2) - 1, 0) + 3 > seq_len
+           THEN greatest(seq_len - 3, 0)
+           ELSE greatest(((2*tail_tok_start+1)//2) - 1, 0) END END AS f2s
+  FROM f1
+), f3 AS (
+  SELECT *,
+    CASE WHEN seq_len <= 3 THEN seq_len ELSE least(f2s + 3, seq_len) END AS f2e,
+    (f2s <= (CASE WHEN seq_len <= 3 THEN seq_len ELSE least(f1s + 3, seq_len) END))
+      AS merged
+  FROM f2
+)
+SELECT doc_id, head_tok_start, tail_tok_start,
+  f1s AS f1_start,
+  CASE WHEN merged THEN greatest(f1e, f2e) ELSE f1e END AS f1_end,
+  CASE WHEN NOT merged THEN f2s END AS f2_start,
+  CASE WHEN NOT merged THEN f2e END AS f2_end,
+  CASE WHEN merged THEN greatest(f1e, f2e) - f1s
+       ELSE (f1e - f1s) + 1 + (f2e - f2s) END AS gathered_len,
+  head_tok_start - f1s AS new_a_start,
+  CASE WHEN merged THEN tail_tok_start - f1s
+       ELSE tail_tok_start - f1s - (f2s - f1e) + 1 END AS new_b_start
+FROM f3
+"""
+
+
 # ------------------------------------------------------------- coref pairs
 
 COREF_DOC_MOD = 17  # sample 1/17 of documents: pair volume is quadratic per
@@ -1859,4 +2049,7 @@ QUERIES: dict[str, tuple] = {
     "window_slices": (q_window_slices, WINDOW_SLICES_ORACLE),
     "seq2seq_roundtrip": (q_seq2seq_roundtrip, SEQ2SEQ_ROUNDTRIP_ORACLE),
     "corpus_brat": (q_corpus_brat, CORPUS_BRAT_ORACLE),
+    # RE encode path: token distance + window-around-candidate + gather
+    "kg_re_windows": (q_kg_re_windows, RE_WINDOWS_ORACLE),
+    "kg_re_gather": (q_kg_re_gather, RE_GATHER_ORACLE),
 }
