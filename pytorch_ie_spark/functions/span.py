@@ -213,6 +213,77 @@ def insert_markers(
     return out, new_head, new_tail
 
 
+def iob2_tags_to_spans(
+    tags: list[str],
+    classes_to_ignore: Optional[list[str]] = None,
+) -> list[tuple[str, tuple[int, int]]]:
+    """STRICT IOB2 decoder: every span must open with B-; an I- that does
+    not continue an open span of the same label raises InvalidTagSequence
+    (the external tag_sequence_to_token_spans contract the reference
+    delegates to — the tolerant variant is bio_tags_to_spans above).
+    Token spans are inclusive (start_tok, end_tok)."""
+    ignore = set(classes_to_ignore or [])
+    out: list[tuple[str, tuple[int, int]]] = []
+    open_label: Optional[str] = None
+    open_start = open_end = 0
+
+    def close():
+        nonlocal open_label
+        if open_label is not None and open_label not in ignore:
+            out.append((open_label, (open_start, open_end)))
+        open_label = None
+
+    for i, tag in enumerate(tags):
+        prefix = tag[0]
+        if prefix == "O" and tag == "O":
+            close()
+        elif prefix == "B" and tag[1:2] == "-":
+            close()
+            open_label, open_start, open_end = tag[2:], i, i
+        elif prefix == "I" and tag[1:2] == "-":
+            if open_label != tag[2:]:
+                raise InvalidTagSequence(" ".join(tags))
+            open_end = i
+        else:
+            raise InvalidTagSequence(" ".join(tags))
+    close()
+    return out
+
+
+def get_special_token_mask(
+    token_ids: list[int], special_ids: set[int], unk_id: Optional[int] = None
+) -> list[int]:
+    """1 for special tokens, 0 for content. The unk id is excluded from the
+    special set because an unk indicates a REAL input token
+    (reference: src/pytorch_ie/utils/span.py:263-269 — tokenizer-free here:
+    pass the id sets explicitly)."""
+    specials = set(special_ids) - ({unk_id} if unk_id is not None else set())
+    return [1 if t in specials else 0 for t in token_ids]
+
+
+def tokens_and_tags_to_text_and_labeled_spans(
+    tokens: list[str], tags: list[str]
+) -> tuple[str, list[tuple[str, tuple[int, int]]]]:
+    """(space-joined text, [(label, (char_start, char_end))]) from a token
+    list + BIO tags — the fixture-bootstrap tool the reference tests lean
+    on (src/pytorch_ie/utils/span.py:272-291). Char ends are exclusive;
+    spans come from the tolerant BIO decoder, ordered by offset."""
+    starts: list[int] = []
+    ends: list[int] = []
+    pos = 0
+    for tok in tokens:
+        starts.append(pos)
+        ends.append(pos + len(tok))
+        pos += len(tok) + 1
+    text = " ".join(tokens)
+    spans = [
+        (label, (starts[ts], ends[te]))
+        for label, (ts, te) in bio_tags_to_spans(tags)
+    ]
+    spans.sort(key=lambda x: (x[1][0], x[1][1], x[0]))
+    return text, spans
+
+
 def has_overlap(a: tuple[int, int], b: tuple[int, int]) -> bool:
     """End-exclusive interval overlap (pie_documents.utils.span.have_overlap)."""
     return a[0] < b[1] and b[0] < a[1]

@@ -1628,6 +1628,169 @@ FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
 """
 
 
+# --------------------------------------- nary / multilabel / tag bootstrap
+
+def q_kg_nary_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaryRelation canonical argument order: one n-ary relation per doc
+    over its gazetteer mentions (role = lowercased span label), arguments
+    sorted by (start, end, role) — the reference comparator — regardless
+    of input order."""
+    from .operators.nary import group_nary_relations
+
+    m = mentions_df(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "start",
+        "end",
+        "label",
+        F.concat_ws("|", "doc_id", "start").alias("mention_id"),
+    )
+    nary = group_nary_relations(m, F.lower(F.col("label")))
+    return nary.select(
+        "doc_id",
+        "label",
+        F.posexplode("arguments").alias("arg_pos", "a"),
+    ).select(
+        "doc_id",
+        "label",
+        F.col("arg_pos").cast("long").alias("arg_pos"),
+        F.col("a.role").alias("role"),
+        F.col("a.start").alias("start"),
+        F.col("a.end").alias("end"),
+    )
+
+
+NARY_ORDER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS surface,
+         generate_subscripts(string_split(text,' '), 1) AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id::BIGINT AS doc_id, surface,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+), mentions AS (
+  SELECT doc_id, lower({_gaz_case_sql()}) AS role, start,
+         (start + length(surface))::BIGINT AS "end"
+  FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+)
+SELECT doc_id, 'mentions_of' AS label,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY start, "end", role)
+        - 1)::BIGINT AS arg_pos,
+       role, start, "end"
+FROM mentions
+"""
+
+
+def q_kg_multilabel_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiLabeledSpan layer: each gazetteer span carries two labels (its
+    gazetteer class + a length class), collapsed to a sorted label set per
+    span; output proves set semantics survive the collapse."""
+    from .operators.nary import to_multi_labeled
+
+    m = mentions_df(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "start", "end", "label",
+        "surface",
+    )
+    two = m.unionByName(
+        m.withColumn("label", F.concat(F.lit("LEN"), F.length("surface")))
+    ).select("doc_id", "start", "end", "label")
+    multi = to_multi_labeled(two)
+    return multi.select(
+        "doc_id",
+        "start",
+        "end",
+        F.concat_ws(",", "labels").alias("labels_str"),
+        F.size("labels").cast("long").alias("n_labels"),
+    )
+
+
+MULTILABEL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS surface,
+         generate_subscripts(string_split(text,' '), 1) AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id::BIGINT AS doc_id, surface,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+), mentions AS (
+  SELECT doc_id, surface, start,
+         (start + length(surface))::BIGINT AS "end",
+         {_gaz_case_sql()} AS label
+  FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), two AS (
+  SELECT doc_id, start, "end", label FROM mentions
+  UNION ALL
+  SELECT doc_id, start, "end", 'LEN' || CAST(length(surface) AS VARCHAR)
+  FROM mentions
+)
+SELECT doc_id, start, "end",
+       list_aggregate(list_sort(list_distinct(list(label))), 'string_agg', ',')
+         AS labels_str,
+       len(list_distinct(list(label)))::BIGINT AS n_labels
+FROM two GROUP BY doc_id, start, "end"
+"""
+
+
+def q_kg_tokens_tags_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokens_and_tags_to_text_and_labeled_spans (the reference's fixture
+    bootstrap): per-token BIO tags built from the gazetteer, decoded back
+    to char-offset labeled spans over the reconstructed text. Lossless for
+    the single-token spans, so the decoded set is the mention set."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .functions.span import tokens_and_tags_to_text_and_labeled_spans
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split("text", " ").alias("tokens"),
+    )
+    gaz_items = list(GAZETTEER.items())
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz = dict(gaz_items)
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                toks = list(tokens)
+                tags = [
+                    f"B-{gaz[t]}" if t in gaz else "O" for t in toks
+                ]
+                _, spans = tokens_and_tags_to_text_and_labeled_spans(
+                    toks, tags
+                )
+                for label, (s, e) in spans:
+                    rows.append((doc_id, s, e, label))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "start", "end", "label"]
+            )
+
+    return docs.mapInPandas(
+        decode, schema="doc_id long, start long, end long, label string"
+    )
+
+
+TOKENS_TAGS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS surface,
+         generate_subscripts(string_split(text,' '), 1) AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id::BIGINT AS doc_id, surface,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+)
+SELECT doc_id, start, (start + length(surface))::BIGINT AS "end",
+       {_gaz_case_sql()} AS label
+FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+"""
+
+
 # -------------------------------------------------- RE encode window/gather
 
 RE_WIN_TOKENS = 8  # deliberately small so sf docs exercise every branch
@@ -2052,4 +2215,8 @@ QUERIES: dict[str, tuple] = {
     # RE encode path: token distance + window-around-candidate + gather
     "kg_re_windows": (q_kg_re_windows, RE_WINDOWS_ORACLE),
     "kg_re_gather": (q_kg_re_gather, RE_GATHER_ORACLE),
+    # n-ary canonical order, multi-label spans, tokens+tags bootstrap
+    "kg_nary_order": (q_kg_nary_order, NARY_ORDER_ORACLE),
+    "kg_multilabel_spans": (q_kg_multilabel_spans, MULTILABEL_ORACLE),
+    "kg_tokens_tags_spans": (q_kg_tokens_tags_spans, TOKENS_TAGS_ORACLE),
 }

@@ -93,6 +93,42 @@ TRIPLES = T.StructType(
     ]
 )
 
+# n-ary relations: NaryRelation layer (roles + canonical argument order
+# by (start, end, role) — re_text_classification_with_indices.py:244-254)
+NARY_ARG = T.StructType(
+    [
+        T.StructField("start", T.LongType(), False),
+        T.StructField("end", T.LongType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("mention_id", T.StringType(), True),
+        T.StructField("span_label", T.StringType(), True),
+    ]
+)
+
+NARY_RELATIONS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("arguments", T.ArrayType(NARY_ARG), False),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("content_sha256", T.StringType(), True),
+    ]
+)
+
+# multi-labeled spans: MultiLabeledSpan layer (label SET per span —
+# transformer_span_classification.py:116-128)
+MULTI_LABELED_SPANS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("labels", T.ArrayType(T.StringType()), False),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("content_sha256", T.StringType(), True),
+    ]
+)
+
 # per-partition lineage rows (BASELINE.json north_rule)
 LINEAGE = T.StructType(
     [

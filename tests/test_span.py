@@ -73,3 +73,41 @@ def test_span_distance_inner_outer():
     assert span_distance((0, 5), (10, 12), "inner") == 5
     assert span_distance((0, 5), (10, 12), "outer") == 12
     assert span_distance((0, 5), (3, 8), "inner") == 0
+
+
+def test_iob2_strict_decode_and_raise():
+    from pytorch_ie_spark.functions.span import iob2_tags_to_spans
+
+    assert iob2_tags_to_spans(["B-PER", "I-PER", "O", "B-ORG"]) == [
+        ("PER", (0, 1)),
+        ("ORG", (3, 3)),
+    ]
+    # I- without a same-label open span is ill-formed in strict IOB2
+    with pytest.raises(InvalidTagSequence):
+        iob2_tags_to_spans(["O", "I-PER"])
+    with pytest.raises(InvalidTagSequence):
+        iob2_tags_to_spans(["B-ORG", "I-PER"])
+    # ignored classes are decoded but not emitted
+    assert iob2_tags_to_spans(["B-PER", "I-PER"], ["PER"]) == []
+
+
+def test_get_special_token_mask_excludes_unk():
+    from pytorch_ie_spark.functions.span import get_special_token_mask
+
+    # specials {0,1,2}, unk=2: unk marks REAL input, so it is not special
+    assert get_special_token_mask([0, 5, 2, 6, 1], {0, 1, 2}, unk_id=2) == [
+        1, 0, 0, 0, 1,
+    ]
+
+
+def test_tokens_and_tags_to_text_and_labeled_spans():
+    from pytorch_ie_spark.functions.span import (
+        tokens_and_tags_to_text_and_labeled_spans,
+    )
+
+    tokens = ["Karl", "Marx", "lived", "in", "London"]
+    tags = ["B-PER", "I-PER", "O", "O", "B-LOC"]
+    text, spans = tokens_and_tags_to_text_and_labeled_spans(tokens, tags)
+    assert text == "Karl Marx lived in London"
+    assert spans == [("PER", (0, 9)), ("LOC", (19, 25))]
+    assert text[0:9] == "Karl Marx" and text[19:25] == "London"
