@@ -1628,6 +1628,102 @@ FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
 """
 
 
+# -------------------------------------- span-score combine + majority vote
+
+def q_span_score_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-score combination mean/max/min/product over deterministic
+    per-char token scores — the reference's score fold as one JVM
+    aggregate per mode (no UDF). Scores for char i of a mention starting
+    at s: ((s*7 + i) % 10 + 1) / 10."""
+    m = mentions_df(spark, sf_dir)
+    scores = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.length("surface").cast("long") - 1),
+        lambda i: (((F.col("start") * 7 + i) % 10 + 1) / 10.0),
+    )
+    withs = m.withColumn("scores", scores)
+    n = F.size("scores")
+    mean = F.aggregate(
+        F.col("scores"), F.lit(0.0), lambda a, x: a + x
+    ) / n
+    mx = F.array_max("scores")
+    mn = F.array_min("scores")
+    prod = F.aggregate(F.col("scores"), F.lit(1.0), lambda a, x: a * x)
+    return withs.select(
+        "doc_id",
+        "start",
+        "surface",
+        F.round(mean, 6).alias("score_mean"),
+        F.round(mx, 6).alias("score_max"),
+        F.round(mn, 6).alias("score_min"),
+        F.round(prod, 6).alias("score_product"),
+    )
+
+
+SPAN_SCORE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS surface,
+         generate_subscripts(string_split(text,' '), 1) AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id::BIGINT AS doc_id, surface,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+), ments AS (
+  SELECT doc_id, start, surface,
+         list_transform(generate_series(0, length(surface) - 1),
+           i -> ((start * 7 + i) % 10 + 1) / 10.0) AS scores
+  FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+)
+SELECT doc_id, start, surface,
+  round(list_sum(scores) / len(scores), 6) AS score_mean,
+  round(list_max(scores), 6) AS score_max,
+  round(list_min(scores), 6) AS score_min,
+  round(list_aggregate(scores, 'product'), 6) AS score_product
+FROM ments
+"""
+
+
+def q_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common-label vote per span identity: every third document
+    relabels its mentions 'NOISE', and the vote recovers the majority
+    label per surface (count desc, label asc tie-break)."""
+    m = mentions_df(spark, sf_dir)
+    noisy = m.select(
+        "surface",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("NOISE"))
+        .otherwise(F.col("label"))
+        .alias("label"),
+    )
+    counts = noisy.groupBy("surface", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("surface").orderBy(F.col("n").desc(), F.col("label"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("surface", F.col("label").alias("voted_label"), F.col("n").cast("long").alias("n_votes"))
+    )
+
+
+LABEL_VOTE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id, unnest(string_split(text,' ')) AS surface
+  FROM documents
+), ments AS (
+  SELECT doc_id, surface,
+         CASE WHEN doc_id % 3 = 0 THEN 'NOISE' ELSE {_gaz_case_sql()} END AS label
+  FROM toks WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), counts AS (
+  SELECT surface, label, count(*)::BIGINT AS n FROM ments GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY surface ORDER BY n DESC, label) AS rn
+  FROM counts
+)
+SELECT surface, label AS voted_label, n AS n_votes FROM ranked WHERE rn = 1
+"""
+
+
 # --------------------------------------- nary / multilabel / tag bootstrap
 
 def q_kg_nary_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2219,4 +2315,7 @@ QUERIES: dict[str, tuple] = {
     "kg_nary_order": (q_kg_nary_order, NARY_ORDER_ORACLE),
     "kg_multilabel_spans": (q_kg_multilabel_spans, MULTILABEL_ORACLE),
     "kg_tokens_tags_spans": (q_kg_tokens_tags_spans, TOKENS_TAGS_ORACLE),
+    # score combination + majority vote
+    "span_score_combine": (q_span_score_combine, SPAN_SCORE_ORACLE),
+    "label_vote": (q_label_vote, LABEL_VOTE_ORACLE),
 }
