@@ -82,6 +82,46 @@ def char_span_to_token_span(
     return first, last + 1
 
 
+def char_to_token_mapper(
+    token_starts: list[int],
+    token_ends: list[int],
+    window: Optional[tuple[int, int]] = None,
+):
+    """char index -> token index closure with the reference's out-of-window
+    encoding (utils/span.py:235-247): -1 for chars before the window, -2
+    for chars at/after its end, None for chars inside no token (e.g.
+    whitespace). `window` is a char range; None = unwindowed."""
+    index: dict[int, int] = {}
+    for i, (ts, te) in enumerate(zip(token_starts, token_ends)):
+        for c in range(ts, te):
+            index[c] = i
+
+    def mapper(char_idx: int) -> Optional[int]:
+        if window is not None and char_idx < window[0]:
+            return -1
+        if window is not None and char_idx >= window[1]:
+            return -2
+        return index.get(char_idx)
+
+    return mapper
+
+
+def get_token_slice(
+    char_slice: tuple[int, int],
+    mapper,
+    char_offset: int = 0,
+) -> Optional[tuple[int, int]]:
+    """Char slice -> exact token slice via a char_to_token_mapper; None when
+    either boundary is unmapped OR out-of-window (negative code) — a
+    negative index would silently slice from the wrong end otherwise
+    (utils/span.py:219-232 with the -1/-2 sentinels treated as misses)."""
+    start = mapper(char_slice[0] - char_offset)
+    before_end = mapper(char_slice[1] - 1 - char_offset)
+    if start is None or before_end is None or start < 0 or before_end < 0:
+        return None
+    return start, before_end + 1
+
+
 def token_span_to_char_span(
     token_starts: list[int],
     token_ends: list[int],

@@ -54,3 +54,29 @@ def test_char_to_token_alignment_none_on_whitespace():
 def test_sentence_spans():
     text = "First sentence. Entity G works at H. And founded I."
     assert sentence_spans(text) == [(0, 15), (16, 36), (37, 51)]
+
+
+def test_char_to_token_mapper_out_of_window_codes():
+    from pytorch_ie_spark.functions.tokenize import (
+        char_to_token_mapper,
+        get_token_slice,
+        tokenize_with_offsets,
+    )
+
+    text = "alpha beta gamma"
+    toks = tokenize_with_offsets(text)
+    starts = [t[1] for t in toks]
+    ends = [t[2] for t in toks]
+    m = char_to_token_mapper(starts, ends, window=(6, 10))
+    assert m(3) == -1          # before the window
+    assert m(12) == -2         # at/after the window end
+    assert m(6) == 1           # 'beta' inside the window
+    assert m(5) == -1          # whitespace before window -> window code wins
+    # unwindowed: whitespace maps to None
+    m2 = char_to_token_mapper(starts, ends)
+    assert m2(5) is None and m2(0) == 0
+    # get_token_slice treats negative codes as misses, never slices wrong
+    assert get_token_slice((6, 10), m) == (1, 2)
+    assert get_token_slice((0, 5), m) is None       # out-of-window
+    assert get_token_slice((0, 5), m2) == (0, 1)
+    assert get_token_slice((4, 6), m2) is None      # boundary on whitespace
