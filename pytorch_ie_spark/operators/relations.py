@@ -195,6 +195,7 @@ def extract_relations_batched(
     max_distance: int | None = 200,
     none_label: str = "no_relation",
     keep_none: bool = False,
+    max_window: int | None = None,
 ) -> DataFrame:
     """Fused candidate-generation + classification, ONE Python invocation per
     Arrow batch (not per document).
@@ -206,7 +207,16 @@ def extract_relations_batched(
     shuffle, bounded arrays), joined with the doc text, and the classifier
     runs once per Arrow batch spanning MANY documents: candidate pairs are
     built row-by-row in local Python lists (cheap, no copies — the text is
-    shared by reference) and predicted in a single vectorized call."""
+    shared by reference) and predicted in a single vectorized call.
+
+    When `max_window` is set, each candidate's context is restricted to a
+    window of that many chars centered on the (head..tail) required slice
+    — the reference's window-around-candidate
+    (re_text_classification_with_indices.py:1071-1093): the model sees the
+    windowed text with shifted span offsets, so long documents never feed
+    the classifier more context than it can hold; candidates whose args
+    alone exceed the window are skipped (skipped_too_long)."""
+    from ..functions.window import window_around_slice
     m_agg = mentions.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(F.struct("start", "end", "label", "mention_id"))
@@ -250,10 +260,30 @@ def extract_relations_batched(
                             gap = max(0, max(hs, ts) - min(he, te))
                             if gap > max_distance:
                                 continue
-                        texts.append(text)
-                        mlists.append(mlist)
-                        heads.append((hs, he))
-                        tails.append((ts, te))
+                        if max_window is not None:
+                            win = window_around_slice(
+                                (min(hs, ts), max(he, te)),
+                                max_window,
+                                len(text),
+                            )
+                            if win is None:  # skipped_too_long
+                                continue
+                            ws, we = win
+                            texts.append(text[ws:we])
+                            mlists.append(
+                                [
+                                    (s - ws, e - ws, lab)
+                                    for s, e, lab in mlist
+                                    if s >= ws and e <= we
+                                ]
+                            )
+                            heads.append((hs - ws, he - ws))
+                            tails.append((ts - ws, te - ws))
+                        else:
+                            texts.append(text)
+                            mlists.append(mlist)
+                            heads.append((hs, he))
+                            tails.append((ts, te))
                         hl.append(hlab)
                         tl.append(tlab)
                         hid.append(hmid)

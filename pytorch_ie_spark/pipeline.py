@@ -39,6 +39,10 @@ class KgPipelineConfig:
     max_window: int = 128
     window_overlap: int = 16
     max_candidate_distance: int | None = 200
+    # char window centered on each candidate pair at relation-encode time
+    # (None = whole document; set for long-document corpora so the
+    # classifier context is bounded regardless of file size)
+    re_max_window: int | None = None
     canonicalize: bool = True
     # 0.8 keeps near-identical variants together but distinct entities with a
     # shared prefix ("entity a" vs "entity g" = 0.714) apart; true aliases are
@@ -111,6 +115,7 @@ def run_kg_pipeline(
                 model_config=cfg.re_model_config,
                 max_distance=cfg.max_candidate_distance,
                 none_label=cfg.none_label,
+                max_window=cfg.re_max_window,
             )
         if cfg.relation_stage == "cogrouped":
             return extract_relations_cogrouped(

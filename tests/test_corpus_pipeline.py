@@ -155,3 +155,47 @@ def test_full_pipeline_triples(spark, tmp_path):
         r["stage"] for r in read_lineage(spark, str(tmp_path / "ckpt")).collect()
     }
     assert stages == {"documents", "mentions", "relations", "triples"}
+
+
+def test_long_document_windowed_relations(spark):
+    """Candidates deep inside a long document are still classified when the
+    relation-encode window is far smaller than the document: the window
+    centers on the candidate pair (window_around_slice), so document
+    length never bounds recall — only the pair's own width does."""
+    from pytorch_ie_spark.operators.relations import extract_relations_batched
+
+    pad = "pad " * 500  # 2000 chars of filler
+    text = pad + "spark scan " + pad.rstrip()
+    docs = spark.createDataFrame(
+        [("dl", text, "sha")], "doc_id string, text string, content_sha256 string"
+    )
+    s1 = len(pad)
+    mentions = spark.createDataFrame(
+        [
+            ("dl", "m1", s1, s1 + 5, "ENGINE", "spark"),
+            ("dl", "m2", s1 + 6, s1 + 10, "OP", "scan"),
+        ],
+        "doc_id string, mention_id string, start long, end long, "
+        "label string, surface string",
+    )
+    kwargs = dict(
+        model_name="cooccurrence_re", max_distance=40, none_label="no_relation"
+    )
+    unwindowed = extract_relations_batched(docs, mentions, **kwargs).collect()
+    windowed = extract_relations_batched(
+        docs, mentions, max_window=64, **kwargs
+    ).collect()
+    key = lambda r: (r["head_mention_id"], r["tail_mention_id"], r["label"])
+    assert sorted(map(key, windowed)) == sorted(map(key, unwindowed))
+    assert any(r["label"] == "engine:supports_op" for r in windowed)
+    # a pair wider than the window is skipped, not misclassified
+    wide = spark.createDataFrame(
+        [
+            ("dl", "m1", 0, 5, "ENGINE", "spark"),
+            ("dl", "m2", 30, 34, "OP", "scan"),
+        ],
+        "doc_id string, mention_id string, start long, end long, "
+        "label string, surface string",
+    )
+    skipped = extract_relations_batched(docs, wide, max_window=20, **kwargs)
+    assert skipped.count() == 0
