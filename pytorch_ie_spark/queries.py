@@ -1628,6 +1628,272 @@ FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
 """
 
 
+# --------------------------- whitelist / layer merge / grounding / markers
+
+WHITELIST = [("ENGINE", "OP"), ("ACTOR", "ENGINE")]
+
+
+def q_kg_whitelist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument-type whitelist on candidate pairs: only (head_label,
+    tail_label) tuples in the whitelist survive (the reference filters
+    before encoding)."""
+    m = mentions_df(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat_ws("|", "doc_id", "start", "end", "label").alias("mention_id"),
+        F.col("start").cast("int").alias("start"),
+        F.col("end").cast("int").alias("end"),
+        "label",
+        "surface",
+        F.lit(None).cast("string").alias("content_sha256"),
+    )
+    pairs = candidate_pairs(
+        m,
+        max_distance=MAX_REL_DISTANCE,
+        distance_mode="inner",
+        argument_whitelist=WHITELIST,
+    )
+    return (
+        pairs.where(F.col("head_end") <= F.col("tail_start"))
+        .groupBy("head_label", "tail_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+WHITELIST_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS surface,
+         generate_subscripts(string_split(text,' '), 1) AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id::BIGINT AS doc_id, surface,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+), mentions AS (
+  SELECT doc_id, surface, start, {_gaz_case_sql()} AS label
+  FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+)
+SELECT h.label AS head_label, t.label AS tail_label, count(*)::BIGINT AS n_pairs
+FROM mentions h JOIN mentions t
+  ON h.doc_id = t.doc_id
+ AND NOT (h.start = t.start AND h.label = t.label)
+ AND h.start + length(h.surface) <= t.start
+ AND t.start - (h.start + length(h.surface)) <= {MAX_REL_DISTANCE}
+WHERE (h.label, t.label) IN ({",".join(f"('{a}','{b}')" for a, b in WHITELIST)})
+GROUP BY 1, 2
+"""
+
+
+def q_kg_layer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source annotation-layer merge: a 'model_a' layer (distance<=20,
+    score 0.6) unioned with a 'model_b' layer (distance<=40, score 0.9),
+    deduplicated by relation value keeping the max score and min source."""
+    from .operators.relations import merge_relation_layers
+
+    base = _relations_with_distance_df(spark, sf_dir, 40)
+
+    def layer(max_d: int, source: str, score: float) -> DataFrame:
+        return base.where(F.col("distance") <= max_d).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat_ws("|", "doc_id", "head_start").alias("head_mention_id"),
+            F.concat_ws("|", "doc_id", "tail_start").alias("tail_mention_id"),
+            "label",
+            F.lit(score).alias("score"),
+            F.lit(source).alias("source"),
+            F.lit(None).cast("string").alias("content_sha256"),
+        )
+
+    merged = merge_relation_layers(
+        layer(20, "model_a", 0.6), layer(40, "model_b", 0.9)
+    )
+    return merged.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "head_mention_id",
+        "tail_mention_id",
+        "label",
+        F.round("score", 4).alias("score"),
+        "source",
+    )
+
+
+LAYER_MERGE_ORACLE = f"""
+WITH rels AS ({_relations_oracle(MAX_REL_DISTANCE)}),
+dist AS (
+  SELECT *, tail_start - (head_start + length(head_surface)) AS distance
+  FROM rels
+),
+layers AS (
+  SELECT doc_id, head_start, tail_start, label, 0.6 AS score,
+         'model_a' AS source
+  FROM dist WHERE distance <= 20
+  UNION ALL
+  SELECT doc_id, head_start, tail_start, label, 0.9, 'model_b'
+  FROM dist WHERE distance <= 40
+)
+SELECT doc_id,
+       CAST(doc_id AS VARCHAR) || '|' || CAST(head_start AS VARCHAR)
+         AS head_mention_id,
+       CAST(doc_id AS VARCHAR) || '|' || CAST(tail_start AS VARCHAR)
+         AS tail_mention_id,
+       label,
+       round(max(score), 4) AS score,
+       min(source) AS source
+FROM layers
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_seq2seq_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity grounding: case-insensitive first occurrence of each distinct
+    relation-argument surface back in its document text (the generative
+    decoder's span-recovery step)."""
+    rels = _relations_df(spark, sf_dir, MAX_REL_DISTANCE)
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    ents = (
+        rels.select("doc_id", F.col("head_surface").alias("entity"))
+        .unionByName(rels.select("doc_id", F.col("tail_surface").alias("entity")))
+        .dropDuplicates(["doc_id", "entity"])
+    )
+    g = ents.join(docs, "doc_id")
+    pos = F.instr(F.lower("text"), F.lower("entity"))  # 1-based, 0 = missing
+    return g.select(
+        "doc_id",
+        "entity",
+        F.when(pos > 0, (pos - 1).cast("long")).alias("gstart"),
+        F.when(pos > 0, (pos - 1 + F.length("entity")).cast("long")).alias("gend"),
+    )
+
+
+GROUNDING_ORACLE = f"""
+WITH rels AS ({_relations_oracle(MAX_REL_DISTANCE)}),
+ents AS (
+  SELECT DISTINCT doc_id, head_surface AS entity FROM rels
+  UNION
+  SELECT DISTINCT doc_id, tail_surface FROM rels
+)
+SELECT e.doc_id, e.entity,
+  CASE WHEN strpos(lower(d.text), lower(e.entity)) > 0
+       THEN (strpos(lower(d.text), lower(e.entity)) - 1)::BIGINT END AS gstart,
+  CASE WHEN strpos(lower(d.text), lower(e.entity)) > 0
+       THEN (strpos(lower(d.text), lower(e.entity)) - 1
+             + length(e.entity))::BIGINT END AS gend
+FROM ents e JOIN documents d ON e.doc_id = d.doc_id::BIGINT
+"""
+
+
+# ----------------------------------------------------------- TACRED source
+
+def q_corpus_tacred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TACRED JSON parse path: one TACRED-shaped example is synthesized per
+    document (subj/obj = its first two gazetteer tokens, token-index spans,
+    end-inclusive), serialized with to_json, then parsed back through the
+    same from_json + token->char prefix-sum core as the file reader."""
+    from .sources.corpus_formats import tacred_from_json_strings
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split("text", " ").alias("token"),
+        F.posexplode(F.split("text", " ")).alias("ord", "surface"),
+    ).where(F.col("surface").isin(list(GAZETTEER)))
+    w = W.partitionBy("doc_id").orderBy("ord")
+    two = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.first("token").alias("token"),
+            F.min(F.when(F.col("rn") == 1, F.col("ord"))).alias("subj_ord"),
+            F.min(F.when(F.col("rn") == 1, F.col("surface"))).alias("subj_surface"),
+            F.min(F.when(F.col("rn") == 2, F.col("ord"))).alias("obj_ord"),
+            F.min(F.when(F.col("rn") == 2, F.col("surface"))).alias("obj_surface"),
+        )
+        .where(F.col("obj_ord").isNotNull())
+    )
+    jsonified = two.select(
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("ex"), F.col("doc_id")).alias("id"),
+                F.col("doc_id").cast("string").alias("docid"),
+                F.coalesce(
+                    _rule_label_col_from(
+                        _gaz_label_col(F.col("subj_surface")),
+                        _gaz_label_col(F.col("obj_surface")),
+                    ),
+                    F.lit("no_relation"),
+                ).alias("relation"),
+                F.col("token"),
+                F.col("subj_ord").cast("int").alias("subj_start"),
+                F.col("subj_ord").cast("int").alias("subj_end"),
+                F.col("obj_ord").cast("int").alias("obj_start"),
+                F.col("obj_ord").cast("int").alias("obj_end"),
+                _gaz_label_col(F.col("subj_surface")).alias("subj_type"),
+                _gaz_label_col(F.col("obj_surface")).alias("obj_type"),
+            )
+        ).alias("json")
+    )
+    parsed = tacred_from_json_strings(jsonified)
+    return parsed.select(
+        "example_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "label",
+        "head_label",
+        F.col("head_start").cast("long"),
+        F.col("head_end").cast("long"),
+        "tail_label",
+        F.col("tail_start").cast("long"),
+        F.col("tail_end").cast("long"),
+    )
+
+
+TACRED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id, unnest(string_split(text,' ')) AS surface,
+         (generate_subscripts(string_split(text,' '), 1) - 1)::BIGINT AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id, surface, ord,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+), gaz AS (
+  SELECT doc_id, surface, ord, start,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS rn
+  FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), two AS (
+  SELECT s.doc_id,
+         s.surface AS subj_surface, s.start AS subj_char,
+         o.surface AS obj_surface, o.start AS obj_char
+  FROM gaz s JOIN gaz o ON s.doc_id = o.doc_id AND s.rn = 1 AND o.rn = 2
+), labeled AS (
+  SELECT doc_id,
+         {_gaz_case_sql().replace("surface", "subj_surface")} AS head_label,
+         {_gaz_case_sql().replace("surface", "obj_surface")} AS tail_label,
+         subj_surface, obj_surface, subj_char, obj_char
+  FROM two
+)
+SELECT 'ex' || CAST(doc_id AS VARCHAR) AS example_id, doc_id,
+  coalesce({_rule_case_sql()}, 'no_relation') AS label,
+  head_label,
+  subj_char AS head_start,
+  (subj_char + length(subj_surface))::BIGINT AS head_end,
+  tail_label,
+  obj_char AS tail_start,
+  (obj_char + length(obj_surface))::BIGINT AS tail_end
+FROM labeled
+"""
+
+
+def _rule_label_col_from(head_label_col, tail_label_col):
+    expr = None
+    for (hl, tl), lab in RELATION_RULES.items():
+        cond = (head_label_col == hl) & (tail_label_col == tl)
+        expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+    return expr
+
+
 # -------------------------------------- span-score combine + majority vote
 
 def q_span_score_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2318,4 +2584,10 @@ QUERIES: dict[str, tuple] = {
     # score combination + majority vote
     "span_score_combine": (q_span_score_combine, SPAN_SCORE_ORACLE),
     "label_vote": (q_label_vote, LABEL_VOTE_ORACLE),
+    # whitelist filter, layer merge, entity grounding
+    "kg_whitelist_pairs": (q_kg_whitelist_pairs, WHITELIST_ORACLE),
+    "kg_layer_merge": (q_kg_layer_merge, LAYER_MERGE_ORACLE),
+    "seq2seq_grounding": (q_seq2seq_grounding, GROUNDING_ORACLE),
+    # TACRED JSON source (from_json + token->char prefix sums)
+    "corpus_tacred": (q_corpus_tacred, TACRED_ORACLE),
 }

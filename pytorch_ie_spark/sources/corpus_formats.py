@@ -132,12 +132,10 @@ TACRED_SCHEMA = (
 )
 
 
-def read_tacred_json(spark: SparkSession, path: str) -> DataFrame:
-    """TACRED examples with token-index spans converted to char offsets over
-    the space-joined text (end-inclusive token spans -> end-exclusive char
-    spans, the reference's offset convention). Token->char math is a prefix
-    sum over token lengths, done with array HOFs — no UDF."""
-    raw = spark.read.schema(TACRED_SCHEMA).option("multiLine", "true").json(path)
+def _tacred_char_offsets(raw: DataFrame) -> DataFrame:
+    """Shared core: TACRED-schema rows -> char-offset relation rows.
+    Token->char math is a prefix sum over token lengths, done with array
+    HOFs — no UDF."""
 
     # char offset of token i in ' '.join(tokens): sum(len+1 for tokens < i)
     def tok_start(idx_col):
@@ -163,3 +161,21 @@ def read_tacred_json(spark: SparkSession, path: str) -> DataFrame:
         tok_start(F.col("obj_start")).alias("tail_start"),
         tok_end(F.col("obj_end")).alias("tail_end"),
     )
+
+
+def read_tacred_json(spark: SparkSession, path: str) -> DataFrame:
+    """TACRED examples with token-index spans converted to char offsets over
+    the space-joined text (end-inclusive token spans -> end-exclusive char
+    spans, the reference's offset convention)."""
+    raw = spark.read.schema(TACRED_SCHEMA).option("multiLine", "true").json(path)
+    return _tacred_char_offsets(raw)
+
+
+def tacred_from_json_strings(df: DataFrame, json_col: str = "json") -> DataFrame:
+    """Parse TACRED examples from a JSON string COLUMN (Kafka payloads, a
+    lake-table column, synthesized fixtures) through the same offset core
+    as the file reader."""
+    raw = df.select(
+        F.from_json(F.col(json_col), TACRED_SCHEMA).alias("r")
+    ).select("r.*")
+    return _tacred_char_offsets(raw)
