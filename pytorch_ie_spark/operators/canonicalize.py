@@ -177,7 +177,7 @@ def lsh_candidate_edges(
         F.explode(
             F.array(*[F.col(f"band{i}") for i in range(n_bands)])
         ).alias("band_key"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # cap pathological buckets to avoid quadratic blowup on degenerate keys
     bucket_sizes = stacked.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bsz"))
     stacked = stacked.join(
