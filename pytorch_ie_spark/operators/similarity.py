@@ -158,6 +158,35 @@ def _cos_to_literal(vec_col, cvec: list[float]):
     return _dot(vec_col, arr) / (_norm(vec_col) * _norm(arr))
 
 
+def ivf_assign_broadcast(
+    base: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Centroid assignment via a broadcast join — the shape that survives
+    real centroid counts (a 4k-centroid index would bloat literal plans;
+    a broadcast DF join stays O(1) plan size). base: (nid, vec);
+    centroids: (cid, cvec). Returns (nid, vec, centroid_id) with
+    argmax-cosine assignment, ties to the lowest cid, via one map-side
+    max_by aggregation (no window shuffle)."""
+    joined = base.join(F.broadcast(centroids))
+    cos = _dot(F.col("vec"), F.col("cvec")) / (
+        _norm(F.col("vec")) * _norm(F.col("cvec"))
+    )
+    scored = joined.select(
+        "nid",
+        "vec",
+        F.struct(
+            cos.alias("cos"), (-F.col("cid")).cast("long").alias("negcid")
+        ).alias("sc"),
+    )
+    return (
+        scored.groupBy("nid")
+        .agg(
+            F.first("vec").alias("vec"),
+            (-F.max("sc")["negcid"]).alias("centroid_id"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],

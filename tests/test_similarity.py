@@ -73,3 +73,43 @@ def test_ivf_assigns_and_probes(spark):
     out2 = ivf_topk(_emb(spark, vs), [0], num_centroids=2, nprobe=2, k=5).collect()
     by_rank = [r["neighbor_id"] for r in sorted(out2, key=lambda r: r["rank"])]
     assert by_rank == [2, 3, 4, 1]
+
+
+def test_ivf_broadcast_assignment_matches_literal(spark):
+    """The broadcast-DF centroid assignment (the real-centroid-count shape)
+    must agree with the literal-embedding argmax used by ivf_topk."""
+    from pyspark.sql import functions as F
+
+    from pytorch_ie_spark.operators.similarity import (
+        _cos_to_literal,
+        ivf_assign_broadcast,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("nid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+    )
+    cents = sorted(
+        (r["nid"], r["vec"]) for r in base.where(F.col("nid") < 8).collect()
+    )
+    # literal path (ivf_topk's internal assignment)
+    scored = F.array(
+        *[
+            F.struct(
+                _cos_to_literal(F.col("vec"), cv).alias("cos"),
+                F.lit(-cid).cast("long").alias("negcid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    lit = base.withColumn("centroid_id", -F.array_max(scored)["negcid"]).select(
+        "nid", "centroid_id"
+    )
+    cdf = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid long, cvec array<double>"
+    )
+    bc = ivf_assign_broadcast(base, cdf).select("nid", "centroid_id")
+    a = sorted(map(tuple, lit.collect()))
+    b = sorted(map(tuple, bc.collect()))
+    assert a == b
