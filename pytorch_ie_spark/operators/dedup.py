@@ -252,10 +252,20 @@ def ngram_jaccard_pairs(
     n: int = 3,
     block_col: str | None = None,
     threshold: float = 0.3,
+    max_gram_freq: int | None = None,
 ) -> DataFrame:
     """Token n-gram Jaccard over blocked pairs: explode distinct n-grams,
     self-join on n-gram (inverted-index join — never a cross join), count
-    shared per pair, Jaccard from per-doc distinct counts."""
+    shared per pair, Jaccard from per-doc distinct counts.
+
+    `max_gram_freq` caps the inverted-index posting list: an n-gram shared
+    by more than that many docs (boilerplate, license headers) is excluded
+    from the JOIN — one viral gram would otherwise contribute a quadratic
+    pair blowup at corpus scale. Per-doc gram COUNTS still include capped
+    grams, so the Jaccard denominator is exact; only the shared-count is
+    a lower bound for pairs whose overlap is mostly boilerplate — the
+    standard trade in web-scale near-dup mining. None = exact (default:
+    correctness-gated queries stay bit-exact vs the SQL oracle)."""
     toks = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
@@ -274,6 +284,11 @@ def ngram_jaccard_pairs(
         ).alias("gram"),
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    if max_gram_freq is not None:
+        freqs = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_gf"))
+        grams = grams.join(
+            freqs.where(F.col("_gf") <= max_gram_freq), "gram"
+        ).drop("_gf")
     a = grams.select(F.col("doc_id").alias("src_id"), "block", "gram")
     b = grams.select(F.col("doc_id").alias("dst_id"), F.col("block").alias("block2"), F.col("gram").alias("gram2"))
     shared = (

@@ -74,3 +74,21 @@ def test_ngram_jaccard_pairs(spark):
     df = _docs(spark, [a, a, "x y z w v u t s"])
     pairs = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
     assert [(p["src_id"], p["dst_id"], p["jaccard"]) for p in pairs] == [(0, 1, 1.0)]
+
+
+def test_ngram_jaccard_hot_gram_cap(spark):
+    from pytorch_ie_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, "shared boiler plate text " + ("alpha beta gamma" if i < 2 else f"unique{i} x{i} y{i}")) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: the shared boilerplate gram joins every doc pair
+    full = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
+    # capped at 2: grams in >2 docs leave the join; docs 0/1 still pair via
+    # their private 'alpha beta gamma' grams
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.0, max_gram_freq=2
+    )
+    full_pairs = {(r["src_id"], r["dst_id"]) for r in full.collect()}
+    capped_pairs = {(r["src_id"], r["dst_id"]) for r in capped.collect()}
+    assert (0, 1) in capped_pairs
+    assert capped_pairs < full_pairs  # strictly fewer joined pairs
