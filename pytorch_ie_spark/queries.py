@@ -505,8 +505,8 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MINHASH_PAIRS_ORACLE = f"""
-WITH base AS (
+# CTE list shared by the pair query and the cluster (CC) query
+_MINHASH_PAIRS_CTES = f"""base AS (
   SELECT doc_id::BIGINT AS doc_id,
          list_distinct(list_transform(
            generate_series(1, length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) - 4),
@@ -541,13 +541,18 @@ WITH base AS (
   SELECT * FROM pairs
   WHERE list_sum(list_transform(generate_series(1, 16),
         i -> CASE WHEN src_mhs[i] = dst_mhs[i] THEN 1 ELSE 0 END)) >= 4
-)
-SELECT src_id, dst_id,
-  round(length(list_intersect(src_sh, dst_sh))::DOUBLE
-        / (length(src_sh) + length(dst_sh) - length(list_intersect(src_sh, dst_sh))), 6) AS jaccard
-FROM pre
-WHERE length(list_intersect(src_sh, dst_sh))::DOUBLE
-      / (length(src_sh) + length(dst_sh) - length(list_intersect(src_sh, dst_sh))) >= 0.5
+), lsh_verified AS (
+  SELECT src_id, dst_id,
+    round(length(list_intersect(src_sh, dst_sh))::DOUBLE
+          / (length(src_sh) + length(dst_sh) - length(list_intersect(src_sh, dst_sh))), 6) AS jaccard
+  FROM pre
+  WHERE length(list_intersect(src_sh, dst_sh))::DOUBLE
+        / (length(src_sh) + length(dst_sh) - length(list_intersect(src_sh, dst_sh))) >= 0.5
+)"""
+
+MINHASH_PAIRS_ORACLE = f"""
+WITH {_MINHASH_PAIRS_CTES}
+SELECT src_id, dst_id, jaccard FROM lsh_verified
 """
 
 
@@ -616,6 +621,52 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = src_id
 JOIN sizes sb ON sb.doc_id = dst_id
 WHERE shared::DOUBLE / (sa.n_grams + sb.n_grams - shared) >= 0.2
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH pairs -> connected
+    components -> one keep_id (min doc_id) per duplicate cluster with its
+    size. The full dedup story a training-data pipeline runs: candidate
+    edges, transitive closure, canonical representative."""
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.length(normalize_text(F.col("text"))) >= 5
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_k=5, num_hashes=16, band_size=4,
+        jaccard_threshold=0.5,
+    )
+    edges = pairs.select(
+        F.col("src_id").cast("string").alias("src"),
+        F.col("dst_id").cast("string").alias("dst"),
+    )
+    comps = connected_components(edges)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.min(F.col("node").cast("long")).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        )
+        .select("keep_id", "cluster_size")
+    )
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT CAST(src_id AS VARCHAR) AS src, CAST(dst_id AS VARCHAR) AS dst
+  FROM lsh_verified
+),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, und.dst FROM reach JOIN und ON reach.r = und.src
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT min(node::BIGINT)::BIGINT AS keep_id, count(*)::BIGINT AS cluster_size
+FROM comp GROUP BY component
 """
 
 
@@ -2537,6 +2588,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_signatures": (q_dedup_minhash_signatures, MINHASH_SIG_ORACLE),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, MINHASH_PAIRS_ORACLE),
     "dedup_simhash": (q_dedup_simhash, SIMHASH_ORACLE),
+    "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
     # similarity
     "ann_topk": (q_ann_topk, ANN_TOPK_ORACLE),
