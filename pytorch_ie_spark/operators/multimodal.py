@@ -91,6 +91,43 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame, target_width: int = 32
+) -> DataFrame:
+    """'Resize' plumbing over binary payloads: a real implementation decodes
+    + rescales pixels; the sandbox stand-in downsamples the byte stream to
+    `target_width` bytes (every k-th byte, k = ceil(len/target)) inside the
+    same Arrow-batched mapInPandas shape a real resizer uses, and rewrites
+    the width metadata. Payload transform + metadata update is the
+    operator contract being tested; the pixel math is the stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, widths = [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                if len(raw) <= target_width:
+                    outs.append(raw)
+                    widths.append(len(raw))
+                else:
+                    step = -(-len(raw) // target_width)
+                    small = raw[::step]
+                    outs.append(small)
+                    widths.append(len(small))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "payload": outs,
+                    "meta_width": widths,
+                    "meta_height": pdf["meta_height"].values,
+                    "meta_duration_s": pdf["meta_duration_s"].values,
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """'Video frame sampling' over the byte stream: one row per sampled chunk
     (JVM-side posexplode over computed offsets — demonstrates the 1->N media

@@ -1834,6 +1834,32 @@ FROM ents e JOIN documents d ON e.doc_id = d.doc_id::BIGINT
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media payloads: one row per sampled byte
+    offset (the 1->N media explode, JVM-side — no decode needed to place
+    the frame grid)."""
+    from .operators.multimodal import documents_as_media, sample_frames
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return sample_frames(media, every_n_bytes=64, max_frames=8).select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "media_type",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+    )
+
+
+MULTIMODAL_FRAMES_ORACLE = """
+SELECT doc_id::BIGINT AS media_id, 'image' AS media_type,
+       unnest(generate_series(0, least(length(text) // 64, 7)))::BIGINT
+         AS frame_idx,
+       (unnest(generate_series(0, least(length(text) // 64, 7))) * 64)::BIGINT
+         AS byte_offset
+FROM documents
+"""
+
+
 # ----------------------------------------------------------- TACRED source
 
 def q_corpus_tacred(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2642,4 +2668,6 @@ QUERIES: dict[str, tuple] = {
     "seq2seq_grounding": (q_seq2seq_grounding, GROUNDING_ORACLE),
     # TACRED JSON source (from_json + token->char prefix sums)
     "corpus_tacred": (q_corpus_tacred, TACRED_ORACLE),
+    # media frame-sampling explode
+    "multimodal_frames": (q_multimodal_frames, MULTIMODAL_FRAMES_ORACLE),
 }

@@ -49,3 +49,25 @@ def test_frame_sampling(spark):
     rows = frames.where(frames.media_id == "train_doc2").collect()
     # 20-byte doc, every 8 bytes, max 3 -> offsets 0, 8, 16
     assert sorted(r["byte_offset"] for r in rows) == [0, 8, 16]
+
+
+def test_resize_media_downsamples_and_updates_meta(spark, sf_dir):
+    from pytorch_ie_spark.operators.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = documents_as_media(docs)
+    out = resize_media(media, target_width=32).collect()
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in out:
+        raw = orig[r["media_id"]]
+        small = bytes(r["payload"])
+        assert len(small) <= 32 or len(small) == len(raw)
+        assert r["meta_width"] == len(small)
+        if len(raw) > 32:
+            step = -(-len(raw) // 32)
+            assert small == raw[::step]  # deterministic downsample
+        else:
+            assert small == raw
