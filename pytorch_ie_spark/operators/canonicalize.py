@@ -227,23 +227,83 @@ def _driver_side_components(spark, edge_rows) -> DataFrame:
     return spark.createDataFrame(rows, "node string, component string")
 
 
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds on ANY graph shape, including the chains that make
+    min-label propagation take O(diameter) rounds.
+
+    One round, on the symmetrized edge list:
+      m(u) = min(u, min over neighbors of u)
+      large-star: for each edge (u, v) with v > u  -> emit (v, m(u))
+      small-star: for each edge (u, v) with v <= u -> emit (v, m(u)),
+                  plus (u, m(u))
+    Iterate until the canonical edge set stops changing; at the fixed point
+    every edge connects a node to its component minimum. Returns
+    (node, component)."""
+    cur = _symmetrize(edges).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = cur.groupBy("src").agg(F.min("dst").alias("_mn"))
+        m = F.least(F.col("src"), F.col("_mn")).alias("m")
+        j = cur.join(nbr_min, "src").select("src", "dst", m)
+        large = j.where(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        small = j.where(F.col("dst") <= F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        self_edge = j.select(F.col("src"), F.col("m").alias("dst"))
+        nxt = _symmetrize(
+            large.union(small).union(self_edge)
+        ).localCheckpoint()
+        changed = (
+            nxt.join(cur, ["src", "dst"], "left_anti").limit(1).count()
+            + cur.join(nxt, ["src", "dst"], "left_anti").limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    # fixed point: stars around component minima
+    return (
+        cur.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(
+            F.col("src").alias("node"),
+            F.least("src", "_m").alias("component"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 25, driver_threshold: int = 100_000
 ) -> DataFrame:
-    """Min-label propagation over (src, dst) string edges -> (node, component).
+    """(src, dst) string edges -> (node, component = min node label).
 
     Hybrid execution: equivalence graphs are usually tiny relative to the
     corpus (distinct near-duplicate surface pairs), so below
     `driver_threshold` edges we run union-find on the driver — one job
-    instead of O(diameter) iterative joins. Above it, distributed
-    min-propagation with a convergence check and localCheckpoint per round
-    (SURVEY.md §7 M4; large-star/small-star is the published alternative).
-    Both paths produce component = min node label, so results are identical.
+    instead of iterative joins. Above it, the distributed path is
+    alternating large-star/small-star (connected_components_star):
+    O(log n) rounds on ANY graph shape — min-label propagation, the
+    previous distributed path, needed O(diameter) rounds and crawled on
+    chain-shaped graphs. Both paths produce component = min node label,
+    so results are identical (asserted in tests/test_canonicalize.py).
     """
     und = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        # materialize once: every iteration (join + convergence count) would
+        # materialize once: the size probe AND the first star round would
         # otherwise re-run the full upstream lineage that produced the edges
         .localCheckpoint()
     )
@@ -253,36 +313,7 @@ def connected_components(
         return _driver_side_components(
             spark, [(r["src"], r["dst"]) for r in und.collect()]
         )
-    nodes = und.select(F.col("src").alias("node")).dropDuplicates(["node"])
-    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
-    for _ in range(max_iter):
-        neighbor_min = (
-            und.join(labels.withColumnRenamed("node", "dst2"),
-                     und.dst == F.col("dst2"))
-            .groupBy("src")
-            .agg(F.min("component").alias("n_comp"))
-            .withColumnRenamed("src", "node")
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    return connected_components_star(und, max_iter=max_iter)
 
 
 def canonicalize_mentions(

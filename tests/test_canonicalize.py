@@ -104,3 +104,42 @@ def test_link_entities_broadcast(spark):
     by_surface = {r["surface"]: r["linked_entity_id"] for r in out}
     assert by_surface["Spark!"] == "E1"
     assert by_surface["unknown thing"] is None
+
+
+def test_star_cc_equals_union_find_on_random_and_chain_graphs(spark):
+    """large-star/small-star CC must produce exactly the driver union-find
+    components, including on a chain (the worst case for min-label
+    propagation), within O(log n) rounds."""
+    import random
+
+    from pytorch_ie_spark.operators.canonicalize import (
+        _driver_side_components,
+        connected_components_star,
+    )
+
+    random.seed(7)
+    cases = []
+    # chain of 60 nodes: diameter 59, label propagation would need ~59 rounds
+    cases.append([(f"n{i:03d}", f"n{i+1:03d}") for i in range(59)])
+    # two dense-ish random clusters + isolated pair
+    edges = []
+    for _ in range(60):
+        a, b = random.sample(range(20), 2)
+        edges.append((f"a{a:02d}", f"a{b:02d}"))
+    for _ in range(60):
+        a, b = random.sample(range(20), 2)
+        edges.append((f"b{a:02d}", f"b{b:02d}"))
+    edges.append(("z1", "z2"))
+    cases.append(edges)
+    for rows in cases:
+        df = spark.createDataFrame(rows, "src string, dst string")
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components_star(df, max_iter=12).collect()
+        }
+        und = rows + [(b, a) for a, b in rows]
+        want = {
+            (r["node"], r["component"])
+            for r in _driver_side_components(spark, und).collect()
+        }
+        assert got == want
