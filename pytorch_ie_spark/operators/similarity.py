@@ -68,6 +68,64 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_two_phase(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """brute_force_topk for the few-queries x huge-corpus regime.
+
+    The windowed variant shuffles EVERY candidate of a query into one
+    partition before ranking — fine when many queries spread the load, a
+    single-partition bottleneck when a handful of queries scan 10^9
+    vectors. Here each input partition first reduces to its LOCAL top-k
+    per query (mapInPandas, no shuffle), so the global rank only sees
+    k x num_partitions rows per query. Identical results (asserted in
+    tests): top-k of a union is the top-k of per-part top-ks."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    queries = base.where(F.col("nid").isin([int(q) for q in query_ids])).select(
+        F.col("nid").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    joined = base.join(F.broadcast(queries), F.col("nid") != F.col("query_id"))
+    cos = (
+        _dot(F.col("qvec"), F.col("vec"))
+        / (_norm(F.col("qvec")) * _norm(F.col("vec")))
+    ).alias("cos")
+    scored = joined.select("query_id", F.col("nid").alias("neighbor_id"), cos)
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list[pd.DataFrame] = []
+        for pdf in batches:
+            acc.append(pdf)
+        if not acc:
+            return
+        allp = pd.concat(acc, ignore_index=True)
+        allp = allp.sort_values(
+            ["query_id", "cos", "neighbor_id"],
+            ascending=[True, False, True],
+        )
+        yield allp.groupby("query_id", sort=False).head(k)
+
+    reduced = scored.mapInPandas(
+        local_topk, schema="query_id long, neighbor_id long, cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def hyperplane_weight(p: int, i: int) -> float:
     """Deterministic ±1 weight for (plane p, dim i): +1 iff the first hex
     char of md5('p|i') >= '8'. Engine-portable (oracles recompute the same

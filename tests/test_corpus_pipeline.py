@@ -199,3 +199,20 @@ def test_long_document_windowed_relations(spark):
     )
     skipped = extract_relations_batched(docs, wide, max_window=20, **kwargs)
     assert skipped.count() == 0
+
+
+def test_batched_relation_plan_shape(spark, pipeline_outputs):
+    """Plan audit: the batched relation stage is ONE Arrow-batched Python
+    stage (a single MapInPandas / ArrowEval node), not a per-group
+    FlatMapGroups — the 10^12-doc scaling property the stage exists for."""
+    from pytorch_ie_spark.operators.relations import extract_relations_batched
+
+    docs, mentions, _ = pipeline_outputs
+    plan = (
+        extract_relations_batched(docs, mentions, model_name="rule_re")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") >= 1
+    assert "FlatMapGroupsInPandas" not in plan

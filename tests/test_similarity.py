@@ -113,3 +113,18 @@ def test_ivf_broadcast_assignment_matches_literal(spark):
     a = sorted(map(tuple, lit.collect()))
     b = sorted(map(tuple, bc.collect()))
     assert a == b
+
+
+def test_two_phase_topk_equals_windowed(spark):
+    """Per-partition local top-k + global rank must equal the single-window
+    ranking on the sf0.01 embeddings."""
+    from pytorch_ie_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_two_phase,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").repartition(8)
+    qids = [0, 3, 11]
+    a = sorted(map(tuple, brute_force_topk(emb, qids, k=5).collect()))
+    b = sorted(map(tuple, brute_force_topk_two_phase(emb, qids, k=5).collect()))
+    assert a == b
