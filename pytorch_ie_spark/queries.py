@@ -1860,6 +1860,68 @@ FROM documents
 """
 
 
+def q_kg_gold_pair_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-target construction (encode_target): candidate pairs get
+    their gold label where one exists, the none label otherwise — the
+    none-negatives a relation classifier trains on."""
+    from .operators.candidates import label_gold_pairs
+
+    m = mentions_df(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat_ws("|", "doc_id", "start", "end", "label").alias("mention_id"),
+        F.col("start").cast("int").alias("start"),
+        F.col("end").cast("int").alias("end"),
+        "label",
+        "surface",
+        F.lit(None).cast("string").alias("content_sha256"),
+    )
+    pairs = candidate_pairs(m, max_distance=MAX_REL_DISTANCE).where(
+        F.col("head_end") <= F.col("tail_start")
+    )
+    # gold = the rule-labeled pairs at distance <= 20 (a strict subset)
+    gold = (
+        pairs.where(F.col("distance") <= 20)
+        .withColumn("label", _rule_label_col())
+        .where(F.col("label").isNotNull())
+        .select("doc_id", "head_mention_id", "tail_mention_id", "label")
+    )
+    labeled = label_gold_pairs(pairs, gold, none_label="no_relation")
+    return labeled.groupBy("gold_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+GOLD_PAIR_LABELS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS surface,
+         generate_subscripts(string_split(text,' '), 1) AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id::BIGINT AS doc_id, surface,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+), mentions AS (
+  SELECT doc_id, surface, start, {_gaz_case_sql()} AS label
+  FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), pairs AS (
+  SELECT h.doc_id, h.start AS head_start, t.start AS tail_start,
+         h.label AS head_label, t.label AS tail_label,
+         t.start - (h.start + length(h.surface)) AS distance
+  FROM mentions h JOIN mentions t
+    ON h.doc_id = t.doc_id
+   AND NOT (h.start = t.start AND h.label = t.label)
+   AND h.start + length(h.surface) <= t.start
+   AND t.start - (h.start + length(h.surface)) <= {MAX_REL_DISTANCE}
+), labeled AS (
+  SELECT CASE WHEN distance <= 20 AND {_rule_case_sql()} IS NOT NULL
+              THEN {_rule_case_sql()} ELSE 'no_relation' END AS gold_label
+  FROM pairs
+)
+SELECT gold_label, count(*)::BIGINT AS n_pairs FROM labeled GROUP BY 1
+"""
+
+
 # ----------------------------------------------------------- TACRED source
 
 def q_corpus_tacred(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2670,4 +2732,6 @@ QUERIES: dict[str, tuple] = {
     "corpus_tacred": (q_corpus_tacred, TACRED_ORACLE),
     # media frame-sampling explode
     "multimodal_frames": (q_multimodal_frames, MULTIMODAL_FRAMES_ORACLE),
+    # encode_target: gold labels + none negatives over candidates
+    "kg_gold_pair_labels": (q_kg_gold_pair_labels, GOLD_PAIR_LABELS_ORACLE),
 }
