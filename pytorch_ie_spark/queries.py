@@ -1922,6 +1922,30 @@ SELECT gold_label, count(*)::BIGINT AS n_pairs FROM labeled GROUP BY 1
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click at
+    or before it (union-tag + one window pass; the oracle is DuckDB's
+    native ASOF JOIN)."""
+    from .streaming.sessions import asof_last_event
+
+    events = read_table(spark, sf_dir, "events")
+    return asof_last_event(events, "purchase", "click").select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        "ts",
+        "asof_ts",
+    )
+
+
+EVENTS_ASOF_ORACLE = """
+SELECT p.event_id::BIGINT AS event_id, p.user_id::BIGINT AS user_id,
+       p.ts, c.ts AS asof_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 # ----------------------------------------------------------- TACRED source
 
 def q_corpus_tacred(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2734,4 +2758,6 @@ QUERIES: dict[str, tuple] = {
     "multimodal_frames": (q_multimodal_frames, MULTIMODAL_FRAMES_ORACLE),
     # encode_target: gold labels + none negatives over candidates
     "kg_gold_pair_labels": (q_kg_gold_pair_labels, GOLD_PAIR_LABELS_ORACLE),
+    # as-of join (union-tag + single window pass; DuckDB ASOF JOIN oracle)
+    "events_asof": (q_events_asof, EVENTS_ASOF_ORACLE),
 }

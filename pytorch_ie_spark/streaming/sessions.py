@@ -55,6 +55,43 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def asof_last_event(
+    events: DataFrame, left_type: str = "purchase", right_type: str = "click"
+) -> DataFrame:
+    """As-of join: for each `left_type` event, the timestamp of the most
+    recent `right_type` event by the same user at or before it.
+
+    Spark has no native ASOF JOIN; the scalable expression is union-tag +
+    ONE window pass (a single shuffle on user_id, linear scan per user)
+    instead of a per-row range join, which Catalyst would plan as a
+    broadcast-nested-loop at scale. Rows sort by (ts, kind) with the right
+    type first so equal-timestamp rights are visible to their left row.
+    Returns (event_id, user_id, ts, asof_ts nullable)."""
+    tagged = events.where(
+        F.col("event_type").isin([left_type, right_type])
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == right_type, 0)
+        .otherwise(1)
+        .alias("_k"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "_k", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    asof = F.last(
+        F.when(F.col("_k") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("asof_ts", asof)
+        .where(F.col("_k") == 1)
+        .select("event_id", "user_id", "ts", "asof_ts")
+    )
+
+
 def windowed_event_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Tumbling-window counts per event_type (batch form — same logical op
     the streaming job runs incrementally)."""
