@@ -1922,6 +1922,52 @@ SELECT gold_label, count(*)::BIGINT AS n_pairs FROM labeled GROUP BY 1
 """
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute/hour/day buckets
+    materialized in ONE pass (explode the resolution axis, then a single
+    grouped aggregation — no per-resolution rescan of the fact table)."""
+    events = read_table(spark, sf_dir, "events")
+    e = events.select(
+        "ts",
+        "event_type",
+        "value",
+        F.explode(
+            F.array(F.lit("minute"), F.lit("hour"), F.lit("day"))
+        ).alias("resolution"),
+    )
+    bucket = (
+        F.when(F.col("resolution") == "minute", F.date_trunc("minute", F.col("ts")))
+        .when(F.col("resolution") == "hour", F.date_trunc("hour", F.col("ts")))
+        .otherwise(F.date_trunc("day", F.col("ts")))
+    )
+    return (
+        e.groupBy("resolution", bucket.alias("bucket_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+EVENTS_ROLLUP_ORACLE = """
+WITH res AS (
+  SELECT e.*, r.resolution
+  FROM events e, (VALUES ('minute'), ('hour'), ('day')) r(resolution)
+)
+SELECT resolution,
+  CASE resolution WHEN 'minute' THEN date_trunc('minute', ts)
+                  WHEN 'hour' THEN date_trunc('hour', ts)
+                  ELSE date_trunc('day', ts) END AS bucket_start,
+  event_type,
+  count(*)::BIGINT AS n_events,
+  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM res
+GROUP BY 1, 2, 3
+"""
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's most recent click at
     or before it (union-tag + one window pass; the oracle is DuckDB's
@@ -2760,4 +2806,6 @@ QUERIES: dict[str, tuple] = {
     "kg_gold_pair_labels": (q_kg_gold_pair_labels, GOLD_PAIR_LABELS_ORACLE),
     # as-of join (union-tag + single window pass; DuckDB ASOF JOIN oracle)
     "events_asof": (q_events_asof, EVENTS_ASOF_ORACLE),
+    # multi-resolution rollup in one pass
+    "events_rollup": (q_events_rollup, EVENTS_ROLLUP_ORACLE),
 }

@@ -74,3 +74,31 @@ def test_structured_streaming_memory_sink(spark, sf_dir, tmp_path):
         assert stream_total == batch_total
     finally:
         q.stop()
+
+
+def test_asof_last_event_semantics(spark):
+    from datetime import datetime
+
+    from pytorch_ie_spark.streaming.sessions import asof_last_event
+
+    rows = [
+        # user 1: click, click, purchase -> matches latest prior click;
+        # a click at the exact purchase ts counts (>= semantics)
+        (1, 1, datetime(2024, 1, 1, 10, 0, 0), "click", 0.0),
+        (2, 1, datetime(2024, 1, 1, 10, 5, 0), "click", 0.0),
+        (3, 1, datetime(2024, 1, 1, 10, 5, 0), "purchase", 9.0),
+        (4, 1, datetime(2024, 1, 1, 11, 0, 0), "purchase", 5.0),
+        # user 2: purchase with no prior click -> null
+        (5, 2, datetime(2024, 1, 1, 9, 0, 0), "purchase", 1.0),
+        (6, 2, datetime(2024, 1, 1, 9, 30, 0), "click", 0.0),
+        # other event types must be ignored
+        (7, 1, datetime(2024, 1, 1, 10, 59, 0), "view", 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    out = {r["event_id"]: r["asof_ts"] for r in asof_last_event(events).collect()}
+    assert out[3] == datetime(2024, 1, 1, 10, 5, 0)  # same-ts click matches
+    assert out[4] == datetime(2024, 1, 1, 10, 5, 0)  # view ignored
+    assert out[5] is None  # no prior click
