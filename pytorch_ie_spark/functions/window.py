@@ -109,6 +109,29 @@ def enumerate_windows_col(seq_len_col, max_size: int, overlap: int = 0):
     return F.when(L <= max_size, single).otherwise(multi)
 
 
+def hf_overflow_windows(
+    seq_len: int, max_length: int, stride: int = 0
+) -> list[tuple[int, int]]:
+    """Window bounds matching the HF fast-tokenizer
+    ``return_overflowing_tokens`` + ``stride`` contract: each window holds
+    ``max_length`` tokens and the NEXT window re-includes the last
+    ``stride`` tokens of the previous one (HF's stride is an overlap, not
+    a step). The last window is shorter; windows are emitted until the
+    sequence is consumed."""
+    if stride >= max_length:
+        raise ValueError("stride must be smaller than max_length")
+    if seq_len <= 0:
+        return []
+    windows = []
+    start = 0
+    while True:
+        end = min(start + max_length, seq_len)
+        windows.append((start, end))
+        if end >= seq_len:
+            return windows
+        start = end - stride
+
+
 def centered_window_cols(start, end, length, max_window: int):
     """`window_around_slice` as JVM-side Column expressions: (win_start,
     win_end) of a max_window-wide window centered on [start, end),

@@ -113,3 +113,38 @@ def test_char_token_alignment_round_trip(text):
 def test_seq2seq_round_trip_property(triples):
     s = linearize_triplets(triples)
     assert parse_triplets(s) == triples
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=1, max_value=8),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=1, max_value=8),
+            st.booleans(),
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_pointer_codec_round_trip_property(raw):
+    from pytorch_ie_spark.functions.pointer_codec import (
+        PointerVocab,
+        linearize_relations,
+        parse_relation_sequence,
+    )
+
+    vocab = PointerVocab(
+        span_labels=("PER", "ORG"), relation_labels=("r1", "r2")
+    )
+    rels = []
+    for hs, hw, ts, tw, flip in raw:
+        head = (hs, hs + hw, "PER" if flip else "ORG")
+        tail = (ts, ts + tw, "ORG")
+        rels.append((head, tail, "r1" if flip else "r2"))
+    ids = linearize_relations(rels, vocab)
+    decoded, errors, rest = parse_relation_sequence(ids, vocab)
+    assert rest == [vocab.eos_id] if rels else rest == ids
+    assert errors.get("correct", 0) == len(rels)
+    assert sorted(decoded) == sorted(rels)

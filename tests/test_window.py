@@ -83,3 +83,20 @@ def test_window_around_slice_too_large_returns_none():
 
 def test_window_around_slice_short_input():
     assert window_around_slice((1, 3), 10, 4) == (0, 4)
+
+
+def test_hf_overflow_windows_contract():
+    from pytorch_ie_spark.functions.window import hf_overflow_windows
+
+    # 10 tokens, max 4, stride 1: each next window re-includes the last
+    # token of the previous (HF return_overflowing_tokens semantics)
+    assert hf_overflow_windows(10, 4, 1) == [(0, 4), (3, 7), (6, 10)]
+    # full coverage, overlap exactly `stride` between consecutive windows
+    for seq_len in (1, 4, 5, 23, 128):
+        for max_len, stride in ((8, 0), (8, 3), (5, 4)):
+            ws = hf_overflow_windows(seq_len, max_len, stride)
+            assert ws[0][0] == 0 and ws[-1][1] == seq_len
+            for (s1, e1), (s2, e2) in zip(ws, ws[1:]):
+                assert s2 == e1 - stride
+                assert e1 - s1 == max_len  # only the last may be short
+    assert hf_overflow_windows(0, 8, 2) == []
