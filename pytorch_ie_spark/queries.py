@@ -1922,6 +1922,30 @@ SELECT gold_label, count(*)::BIGINT AS n_pairs FROM labeled GROUP BY 1
 """
 
 
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways a data pipeline needs it: whitespace tokens
+    and BPE-ish regex tokens (word pieces + punctuation, the
+    functions/tokenize.py TOKEN_RE class), per language."""
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
+    return docs.groupBy("lang").agg(
+        F.sum(ws).cast("long").alias("ws_tokens"),
+        F.sum(bpe).cast("long").alias("bpe_tokens"),
+        F.round(F.sum(bpe) / F.sum(ws), 6).alias("bpe_per_ws"),
+    )
+
+
+TEXT_TOKEN_COUNTS_ORACLE = r"""
+SELECT lang,
+  sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+  sum(len(regexp_extract_all(text, '\w+|[^\w\s]')))::BIGINT AS bpe_tokens,
+  round(sum(len(regexp_extract_all(text, '\w+|[^\w\s]')))::DOUBLE
+        / sum(len(string_split(text, ' '))), 6) AS bpe_per_ws
+FROM documents GROUP BY 1
+"""
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: minute/hour/day buckets
     materialized in ONE pass (explode the resolution axis, then a single
@@ -2808,4 +2832,6 @@ QUERIES: dict[str, tuple] = {
     "events_asof": (q_events_asof, EVENTS_ASOF_ORACLE),
     # multi-resolution rollup in one pass
     "events_rollup": (q_events_rollup, EVENTS_ROLLUP_ORACLE),
+    # whitespace + BPE-ish regex token counting
+    "text_token_counts": (q_text_token_counts, TEXT_TOKEN_COUNTS_ORACLE),
 }
