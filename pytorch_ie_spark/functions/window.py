@@ -106,7 +106,14 @@ def enumerate_windows_col(seq_len_col, max_size: int, overlap: int = 0):
         )
     )
     multi = F.transform(F.sequence(F.lit(0).cast("long"), n - 1), win)
-    return F.when(L <= max_size, single).otherwise(multi)
+    empty = F.array().cast(
+        "array<struct<tok_start:long,tok_end:long,rel_start:long,rel_end:long>>"
+    )
+    return (
+        F.when(L <= 0, empty)
+        .when(L <= max_size, single)
+        .otherwise(multi)
+    )
 
 
 def hf_overflow_windows(

@@ -100,3 +100,16 @@ def test_hf_overflow_windows_contract():
                 assert s2 == e1 - stride
                 assert e1 - s1 == max_len  # only the last may be short
     assert hf_overflow_windows(0, 8, 2) == []
+
+
+def test_enumerate_windows_col_empty_sequence(spark):
+    from pyspark.sql import functions as F
+
+    from pytorch_ie_spark.functions.window import enumerate_windows_col
+
+    df = spark.createDataFrame([(0,), (1,)], "seq_len long")
+    rows = {r["seq_len"]: list(r["ws"]) for r in df.select(
+        "seq_len", enumerate_windows_col(F.col("seq_len"), 128, 16).alias("ws")
+    ).collect()}
+    assert rows[0] == []  # matches the Python loop: no windows for len 0
+    assert len(rows[1]) == 1
