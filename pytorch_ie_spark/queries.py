@@ -1922,6 +1922,31 @@ SELECT gold_label, count(*)::BIGINT AS n_pairs FROM labeled GROUP BY 1
 """
 
 
+def q_doc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-to-text layer analog (reference TextToTextTaskModule /
+    AnnotationWithText: a generated text annotation per document). The
+    sandbox 'model' is deterministic extractive summarization — the first
+    sentence ('.'/'!'/'?'-terminated, else the whole text) plus its
+    length — exercising the document -> generated-text row shape."""
+    docs = read_table(spark, sf_dir, "documents")
+    first_sentence = F.regexp_extract(F.col("text"), r"^([^.!?]*[.!?]?)", 1)
+    summary = F.trim(first_sentence)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        summary.alias("summary"),
+        F.length(summary).cast("long").alias("summary_chars"),
+    )
+
+
+DOC_SUMMARY_ORACLE = r"""
+SELECT doc_id::BIGINT AS doc_id,
+       trim(regexp_extract(text, '^([^.!?]*[.!?]?)', 1)) AS summary,
+       length(trim(regexp_extract(text, '^([^.!?]*[.!?]?)', 1)))::BIGINT
+         AS summary_chars
+FROM documents
+"""
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways a data pipeline needs it: whitespace tokens
     and BPE-ish regex tokens (word pieces + punctuation, the
@@ -2834,4 +2859,6 @@ QUERIES: dict[str, tuple] = {
     "events_rollup": (q_events_rollup, EVENTS_ROLLUP_ORACLE),
     # whitespace + BPE-ish regex token counting
     "text_token_counts": (q_text_token_counts, TEXT_TOKEN_COUNTS_ORACLE),
+    # text_to_text layer analog (extractive summary row per doc)
+    "doc_summary": (q_doc_summary, DOC_SUMMARY_ORACLE),
 }
