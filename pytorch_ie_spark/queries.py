@@ -1073,6 +1073,44 @@ GROUP BY 1
 """
 
 
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share per part brand (TPC-H Q14 shape): lineitem
+    joined to a broadcast part dim, conditional aggregation with exact
+    decimal money math."""
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    rev = _money(F.col("l_extendedprice")) * (1 - _money(F.col("l_discount")))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return joined.groupBy("p_brand").agg(
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+TPCH_Q14_ORACLE = """
+SELECT p_brand,
+  CAST(sum(CASE WHEN p_type = 'ECONOMY'
+           THEN CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
+                * (1 - CAST(round(l_discount, 2) AS DECIMAL(18,2)))
+           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+  CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
+           * (1 - CAST(round(l_discount, 2) AS DECIMAL(18,2)))) AS DOUBLE)
+    AS total_revenue,
+  count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY 1
+"""
+
+
 def q_window_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment").orderBy(
@@ -2811,6 +2849,7 @@ QUERIES: dict[str, tuple] = {
     "tpch_q1": (q_tpch_q1, TPCH_Q1_ORACLE),
     "tpch_q3": (q_tpch_q3, TPCH_Q3_ORACLE),
     "tpch_q5": (q_tpch_q5, TPCH_Q5_ORACLE),
+    "tpch_q14": (q_tpch_q14, TPCH_Q14_ORACLE),
     "window_top_customers": (q_window_top_customers, WINDOW_TOP_ORACLE),
     # events / sessionization
     "events_sessionize": (q_events_sessionize, SESSIONIZE_ORACLE),
