@@ -1960,6 +1960,62 @@ SELECT gold_label, count(*)::BIGINT AS n_pairs FROM labeled GROUP BY 1
 """
 
 
+def q_io_tag_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO tag-sequence decode: per-token labels (gazetteer class or O),
+    maximal runs of the same label become one span — the IO codec's
+    merge-adjacent semantics, which differ from BIO (two adjacent
+    same-label mentions merge here). Runs the actual io_tags_to_spans
+    function per document; the oracle is a gaps-and-islands SQL."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .functions.span import io_tags_to_spans
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split("text", " ").alias("tokens"),
+    )
+    gaz_items = list(GAZETTEER.items())
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz = dict(gaz_items)
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                tags = [gaz.get(t, "O") for t in tokens]
+                for label, (s, e) in io_tags_to_spans(tags):
+                    rows.append((doc_id, s, e, label))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "tok_start", "tok_end", "label"]
+            )
+
+    return docs.mapInPandas(
+        decode, schema="doc_id long, tok_start long, tok_end long, label string"
+    )
+
+
+IO_TAG_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(text,' ')) AS surface,
+         (generate_subscripts(string_split(text,' '), 1) - 1)::BIGINT AS ord
+  FROM documents
+), tagged AS (
+  SELECT doc_id, ord, {_gaz_case_sql()} AS label
+  FROM toks WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), islands AS (
+  -- gaps-and-islands: consecutive same-label tokens share (ord - rn)
+  SELECT doc_id, ord, label,
+         ord - row_number() OVER (
+           PARTITION BY doc_id, label ORDER BY ord) AS grp
+  FROM tagged
+)
+SELECT doc_id, min(ord) AS tok_start, max(ord) AS tok_end, label
+FROM islands GROUP BY doc_id, label, grp
+"""
+
+
 def q_doc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-to-text layer analog (reference TextToTextTaskModule /
     AnnotationWithText: a generated text annotation per document). The
@@ -2900,4 +2956,6 @@ QUERIES: dict[str, tuple] = {
     "text_token_counts": (q_text_token_counts, TEXT_TOKEN_COUNTS_ORACLE),
     # text_to_text layer analog (extractive summary row per doc)
     "doc_summary": (q_doc_summary, DOC_SUMMARY_ORACLE),
+    # IO tag decode (merge-adjacent semantics; gaps-and-islands oracle)
+    "io_tag_spans": (q_io_tag_spans, IO_TAG_SPANS_ORACLE),
 }
