@@ -143,3 +143,25 @@ def test_star_cc_equals_union_find_on_random_and_chain_graphs(spark):
             for r in _driver_side_components(spark, und).collect()
         }
         assert got == want
+
+
+def test_cc_distributed_dispatch_equals_driver_path(spark, sf_dir):
+    """Force the distributed (star) path with driver_threshold=0 on the real
+    relation co-occurrence graph and require identical components to the
+    driver union-find path."""
+    from pytorch_ie_spark.operators.canonicalize import connected_components
+    from pytorch_ie_spark.queries import _relations_df
+
+    rels = _relations_df(spark, sf_dir, 40)
+    edges = rels.select(
+        F.col("head_surface").alias("src"), F.col("tail_surface").alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    driver = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    distributed = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert driver == distributed and len(driver) > 0
