@@ -59,7 +59,13 @@ def test_gather_matches_reference_simulation(spark):
     for L in (6, 10, 16, 25, 40):
         for a in range(0, L - 1, 3):
             for b in range(a + 1, L, 4):
-                cases.append((did, a, a + 1, b, b + 1, L))
+                # variable argument widths (clipped to the sequence and to
+                # mpa=3 so nothing is skipped), not just single tokens
+                aw = min(1 + (a % 3), b - a, L - a)
+                bw = min(1 + (b % 3), L - b)
+                if aw < 1 or bw < 1:
+                    continue
+                cases.append((did, a, a + aw, b, b + bw, L))
                 did += 1
     df = spark.createDataFrame(cases, PAIR_SCHEMA)
     out = {
@@ -120,3 +126,26 @@ def test_marker_insertion_ordered(spark):
         ).alias("toks")
     ).collect()[0]["toks"]
     assert list(out) == ["a", "[H]", "b", "[/H]", "c", "[T]", "d", "[/T]", "e"]
+
+
+def test_gather_overlapping_arguments(spark):
+    """Candidate args can overlap (inner distance 0); frames must merge and
+    shifts must match the reference mask simulation."""
+    cases = [
+        (0, 4, 7, 5, 8, 20),    # partial overlap
+        (1, 4, 6, 4, 7, 20),    # same start, different ends
+        (2, 10, 12, 11, 12, 15) # nested-ish
+    ]
+    # clip widths to mpa=3: all above are <= 3 wide
+    df = spark.createDataFrame(cases, PAIR_SCHEMA)
+    out = {r["doc_id"]: r for r in with_discontinuous_frames(df, 8, glue_len=1).collect()}
+    for (did, hs, he, ts, te, L) in cases:
+        a, b = sorted([(hs, he), (ts, te)])
+        ref = _reference_gather(a, b, L, 8, 1)
+        assert ref is not None
+        (na, nb), gathered = ref
+        r = out[did]
+        assert not r["skipped"]
+        assert (r["new_a_start"], r["new_a_end"]) == na
+        assert (r["new_b_start"], r["new_b_end"]) == nb
+        assert r["gathered_len"] == gathered
