@@ -63,16 +63,17 @@ def io_tags_to_spans(
     tags: list[str],
     classes_to_ignore: Optional[list[str]] = None,
 ) -> list[tuple[str, tuple[int, int]]]:
-    """Decode an IO tag sequence: maximal runs of the same label become spans
-    (reference: src/pytorch_ie/utils/span.py:121-165)."""
+    """Decode an IO tag sequence: maximal runs of the SAME RAW TAG become
+    spans (reference: src/pytorch_ie/utils/span.py:121-165). Tags are
+    compared verbatim — IO encoding has no prefixes, so 'B-PER' and 'I-PER'
+    (if fed in by mistake) are distinct runs, and `classes_to_ignore`
+    matches whole tag strings, exactly like the reference."""
     ignore = set(classes_to_ignore or [])
     out: set[tuple[str, tuple[int, int]]] = set()
     open_label: Optional[str] = None
     open_start = open_end = 0
     for i, tag in enumerate(tags):
-        label = None if tag == "O" else (tag[2:] if tag[:2] in ("I-", "B-") else tag)
-        if label is not None and label in ignore:
-            label = None
+        label = None if tag == "O" or tag in ignore else tag
         if label == open_label and label is not None:
             open_end = i
             continue

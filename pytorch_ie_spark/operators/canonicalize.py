@@ -146,10 +146,14 @@ def lsh_candidate_edges(
     num_hashes: int = 16,
     band_size: int = 4,
     jaccard_threshold: float = 0.5,
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """surfaces: distinct rows with `surface_col`. Returns verified candidate
-    edges (src, dst, jaccard) with src < dst."""
+    edges (src, dst, jaccard) with src < dst.
+
+    `max_bucket=None` (default) is exact. At corpus scale pass a cap: band
+    buckets above it are dropped before the self-join (quadratic otherwise);
+    the cap is a window count inside the self-join's own band_key shuffle."""
     base = (
         surfaces.select(F.col(surface_col).alias("node"))
         .where(F.length("node") > 0)
@@ -178,11 +182,18 @@ def lsh_candidate_edges(
             F.array(*[F.col(f"band{i}") for i in range(n_bands)])
         ).alias("band_key"),
     ).localCheckpoint(eager=False)
-    # cap pathological buckets to avoid quadratic blowup on degenerate keys
-    bucket_sizes = stacked.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bsz"))
-    stacked = stacked.join(
-        bucket_sizes.where(F.col("_bsz") <= max_bucket), "band_key"
-    )
+    if max_bucket is not None:
+        # cap pathological buckets to avoid quadratic blowup on degenerate
+        # keys — window count over band_key rides the self-join's shuffle
+        from pyspark.sql import Window
+
+        stacked = (
+            stacked.withColumn(
+                "_bsz", F.count(F.lit(1)).over(Window.partitionBy("band_key"))
+            )
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a = stacked.select("band_key", F.col("node").alias("src"))
     b_ = stacked.select("band_key", F.col("node").alias("dst"))
     pairs = (
@@ -253,6 +264,7 @@ def connected_components_star(
     every edge connects a node to its component minimum. Returns
     (node, component)."""
     cur = _symmetrize(edges).localCheckpoint()
+    changed = None
     for _ in range(max_iter):
         nbr_min = cur.groupBy("src").agg(F.min("dst").alias("_mn"))
         m = F.least(F.col("src"), F.col("_mn")).alias("m")
@@ -274,6 +286,14 @@ def connected_components_star(
         cur = nxt
         if changed == 0:
             break
+    if changed != 0:
+        # a silent return here would hand the caller WRONG components with
+        # no signal; the star rounds converge in O(log n), so hitting the
+        # bound means max_iter is simply too small for the graph
+        raise RuntimeError(
+            f"connected_components_star did not converge within {max_iter} "
+            "rounds (edge set still changing); raise max_iter"
+        )
     # fixed point: stars around component minima
     return (
         cur.groupBy("src")

@@ -127,7 +127,7 @@ def minhash_lsh_pairs(
     band_size: int = 4,
     jaccard_threshold: float = 0.5,
     min_sig_matches: int | None = None,
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (src_id < dst_id) verified by shingle
     Jaccard. shingle -> minhash -> band -> bucket-join -> signature
@@ -141,24 +141,34 @@ def minhash_lsh_pairs(
     shingle arrays for false-positive pairs is the dominant cost. Identical
     docs match all components, so exact-dup recall is unaffected.
 
-    Band buckets larger than `max_bucket` are dropped before the self-join
-    (same cap as canonicalize.lsh_candidate_edges): one viral boilerplate
-    cluster sharing a band key would otherwise make the bucket self-join
-    quadratic at corpus scale. Dropped buckets are observable, not silent —
-    `lsh_dropped_buckets` returns their (band_key, size) for lineage."""
+    `max_bucket=None` (the default) is EXACT: every band bucket self-joins,
+    and the result is bit-identical to the SQL oracle. At corpus scale, pass
+    a cap: band buckets larger than `max_bucket` are dropped before the
+    self-join (same cap as canonicalize.lsh_candidate_edges) — one viral
+    boilerplate cluster sharing a band key would otherwise make the bucket
+    self-join quadratic. Dropped buckets are observable, not silent —
+    `lsh_dropped_buckets` returns their (band_key, size) for lineage. The
+    cap is computed as a window count over band_key, i.e. inside the SAME
+    shuffle the self-join needs — no extra groupBy+join pass."""
     if min_sig_matches is None:
         min_sig_matches = max(1, num_hashes // 4)
     base, sig, stacked = _minhash_band_stack(
         df, id_col, text_col, shingle_k, num_hashes, band_size
     )
     mh_names = [f"mh{i}" for i in range(num_hashes)]
-    # cap pathological buckets BEFORE the self-join (quadratic otherwise)
-    bucket_sizes = stacked.groupBy("band_key").agg(
-        F.count(F.lit(1)).alias("_bsz")
-    )
-    stacked = stacked.join(
-        bucket_sizes.where(F.col("_bsz") <= max_bucket), "band_key"
-    ).drop("_bsz")
+    if max_bucket is not None:
+        # cap pathological buckets BEFORE the self-join (quadratic
+        # otherwise); the window's hash partitioning on band_key is exactly
+        # what the self-join requires, so this adds no exchange
+        from pyspark.sql import Window
+
+        stacked = (
+            stacked.withColumn(
+                "_bsz", F.count(F.lit(1)).over(Window.partitionBy("band_key"))
+            )
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a = stacked.select("band_key", F.col("doc_id").alias("src_id"))
     b_ = stacked.select("band_key", F.col("doc_id").alias("dst_id"))
     pairs = (

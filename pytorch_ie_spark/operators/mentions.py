@@ -95,20 +95,32 @@ def encode_documents(
 
 
 def bucket_by_length(encodings: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Dynamic token-length bucketing (north_rule): range-partition windows by
-    token count so each Arrow batch holds similar-length sequences and padding
+    """Dynamic token-length bucketing (north_rule): co-locate similar-length
+    windows so each Arrow batch holds similar-length sequences and padding
     waste inside the model UDF is bounded (reference analog: dynamic padding
-    to longest-in-batch, transformer_token_classification.py:331-349)."""
+    to longest-in-batch, transformer_token_classification.py:331-349).
+
+    Hash-partition on (length_bucket, bounded deterministic salt) + local
+    sort — the plans/skew.size_bucketed pattern — NOT repartitionByRange:
+    the RangePartitioner runs a separate sampling job over the child plan,
+    i.e. a SECOND execution of the tokenize+window UDF upstream (a full
+    extra pass at 100 TB), and the low-cardinality bucket value would
+    collapse the model stage to #distinct-buckets tasks. One shuffle, no
+    sampling; the salt spreads each bucket across partitions and the local
+    sort restores batch homogeneity."""
     bucketed = encodings.withColumn(
         "length_bucket", (F.col("n_tokens") / F.lit(16)).cast("int")
     )
-    if num_partitions:
-        bucketed = bucketed.repartitionByRange(
-            num_partitions, "length_bucket", "doc_id"
-        )
-    else:
-        bucketed = bucketed.repartitionByRange("length_bucket", "doc_id")
-    return bucketed.drop("length_bucket")
+    parts = (
+        num_partitions
+        or encodings.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    salt = F.pmod(F.xxhash64("doc_id", "window_idx"), F.lit(parts))
+    return (
+        bucketed.repartition(parts, F.col("length_bucket"), salt)
+        .sortWithinPartitions("length_bucket", "n_tokens")
+        .drop("length_bucket")
+    )
 
 
 def infer_mentions(

@@ -13,10 +13,19 @@ from pyspark.sql import functions as F
 
 
 def pr_f1(
-    gold: DataFrame, pred: DataFrame, key_cols: list[str], label_col: str = "label"
+    gold: DataFrame,
+    pred: DataFrame,
+    key_cols: list[str],
+    label_col: str = "label",
+    include_macro: bool = True,
 ) -> DataFrame:
-    """Per-label + micro P/R/F1. `key_cols` defines annotation value identity
-    (must include the label column for labeled-annotation counting)."""
+    """Per-label + MICRO + MACRO P/R/F1. `key_cols` defines annotation value
+    identity (must include the label column for labeled-annotation counting).
+    MACRO = unweighted mean of the per-label precision/recall/f1 over labels
+    present in gold or pred, micro excluded (reference
+    precision_recall_and_f1_for_labeled_annotations.py:110-148); its count
+    columns are null — the reference macro entry carries only the three
+    averaged scores."""
     g = gold.select(*key_cols).dropDuplicates(key_cols)
     p = pred.select(*key_cols).dropDuplicates(key_cols)
     tp = g.join(p, key_cols, "inner").groupBy(label_col).agg(
@@ -63,16 +72,40 @@ def pr_f1(
             ).otherwise(F.lit(0.0)),
         )
     )
-    return per_label.unionByName(micro)
+    out = per_label.unionByName(micro)
+    if include_macro:
+        macro = (
+            per_label.agg(
+                F.avg("precision").alias("precision"),
+                F.avg("recall").alias("recall"),
+                F.avg("f1").alias("f1"),
+            )
+            .withColumn(label_col, F.lit("MACRO"))
+            .withColumn("gold_count", F.lit(None).cast("long"))
+            .withColumn("pred_count", F.lit(None).cast("long"))
+            .withColumn("tp", F.lit(None).cast("long"))
+        )
+        out = out.unionByName(macro)
+    return out
 
 
 def micro_pr(gold: DataFrame, pred: DataFrame, key_cols: list[str]) -> tuple[float, float]:
-    """Driver-side micro precision/recall pair (the BASELINE P/R gate)."""
-    g = gold.select(*key_cols).dropDuplicates(key_cols)
-    p = pred.select(*key_cols).dropDuplicates(key_cols)
-    tp = g.join(p, key_cols, "inner").count()
-    n_gold = g.count()
-    n_pred = p.count()
-    precision = tp / n_pred if n_pred else 0.0
-    recall = tp / n_gold if n_gold else 0.0
+    """Driver-side micro precision/recall pair (the BASELINE P/R gate).
+
+    ONE aggregation job over a full-outer join: each joined row is
+    gold-only, pred-only, or both (a TP), so (n_gold, n_pred, tp) come back
+    in a single action instead of three jobs over the same inputs."""
+    g = gold.select(*key_cols).dropDuplicates(key_cols).withColumn("_g", F.lit(1))
+    p = pred.select(*key_cols).dropDuplicates(key_cols).withColumn("_p", F.lit(1))
+    row = (
+        g.join(p, key_cols, "full_outer")
+        .agg(
+            F.count("_g").alias("n_gold"),
+            F.count("_p").alias("n_pred"),
+            F.count(F.when(F.col("_g").isNotNull() & F.col("_p").isNotNull(), 1)).alias("tp"),
+        )
+        .collect()[0]
+    )
+    precision = row["tp"] / row["n_pred"] if row["n_pred"] else 0.0
+    recall = row["tp"] / row["n_gold"] if row["n_gold"] else 0.0
     return precision, recall

@@ -144,16 +144,27 @@ def with_discontinuous_frames(
 
     f1s, f1e = frame(a_start, a_end)
     f2s, f2e = frame(b_start, b_end)
-    merged = f2s <= f1e  # overlap or adjacency -> one segment
-    seg1_start = f1s
+    # Frames are ordered by ARG start, not frame start: a nested narrow
+    # second arg can have its frame begin LEFT of the first arg's frame
+    # (e.g. a=(2,5), b=(2,3) at mpa=3 -> f1s=2, f2s=1).  The merged test
+    # must therefore be true interval overlap/adjacency, and the merged
+    # segment starts at the union start — matching the reference's
+    # mask-union semantics (re_text_classification_with_indices.py
+    # :1005-1069).  When the frames are disjoint, frame order follows arg
+    # order (f2s > f1e): a "frame 2 entirely left of frame 1" layout would
+    # need an arg wider than mpa, which is already `skipped`.
+    merged = F.greatest(f1s, f2s) <= F.least(f1e, f2e)
+    u_start = F.least(f1s, f2s)
+    seg1_start = F.when(merged, u_start).otherwise(f1s)
     seg1_end = F.when(merged, F.greatest(f1e, f2e)).otherwise(f1e)
     gathered_len = F.when(
         merged, seg1_end - seg1_start
     ).otherwise((f1e - f1s) + glue_len + (f2e - f2s))
-    # shifts: first segment drops f1s tokens; second segment additionally
-    # drops the gap (f2s - f1e) and gains glue_len glue tokens
-    shift_a = -f1s
-    shift_b = F.when(merged, -f1s).otherwise(-f1s - (f2s - f1e) + glue_len)
+    # shifts: the first segment drops everything before its start; the
+    # second segment additionally drops the gap (f2s - f1e) and gains
+    # glue_len glue tokens
+    shift_a = F.when(merged, -u_start).otherwise(-f1s)
+    shift_b = F.when(merged, -u_start).otherwise(-f1s - (f2s - f1e) + glue_len)
     out = pairs.select(
         "*",
         skipped.alias("skipped"),

@@ -103,17 +103,25 @@ def brute_force_topk_two_phase(
     scored = joined.select("query_id", F.col("nid").alias("neighbor_id"), cos)
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: list[pd.DataFrame] = []
+        # fold a RUNNING per-query top-k across Arrow batches: resident
+        # memory is one batch + k x num_queries rows, never the whole
+        # partition (which is unbounded at 10^9 vectors/partition)
+        best: pd.DataFrame | None = None
         for pdf in batches:
-            acc.append(pdf)
-        if not acc:
-            return
-        allp = pd.concat(acc, ignore_index=True)
-        allp = allp.sort_values(
-            ["query_id", "cos", "neighbor_id"],
-            ascending=[True, False, True],
-        )
-        yield allp.groupby("query_id", sort=False).head(k)
+            if len(pdf) == 0:
+                continue
+            cand = (
+                pdf
+                if best is None
+                else pd.concat([best, pdf], ignore_index=True)
+            )
+            cand = cand.sort_values(
+                ["query_id", "cos", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            best = cand.groupby("query_id", sort=False).head(k)
+        if best is not None:
+            yield best
 
     reduced = scored.mapInPandas(
         local_topk, schema="query_id long, neighbor_id long, cos double"

@@ -18,10 +18,19 @@ Crash-idempotency contract (two-phase commit via run ids):
      data and still-pending units: the replay reprocesses them under a new
      run_id with no duplicate triples observable. `orphan_run_ids` surfaces
      leftovers for cleanup.
+
+Legacy layout: out_dirs written before the run-id scheme have triples
+directly under ``triples/pred=X/`` and markers with no run_id column. Mixed
+partition structures fail Spark's partition discovery in a single read, so
+the readers here discover the two layouts separately (explicit subdirectory
+globs under a shared basePath) and union them, treating all pre-run_id data
+as one implicitly committed run ``run_id='legacy'`` — the old writer's
+presence-means-committed semantics. No migration needed.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import uuid
 
@@ -44,24 +53,80 @@ def _unit_key_col():
     return F.concat_ws("@", F.concat_ws("/", "repo", "path"), "commit")
 
 
+LEGACY_RUN_ID = "legacy"
+
+
+def _legacy_triple_dirs(out_dir: str) -> list[str]:
+    """pred=* partitions sitting DIRECTLY under triples/ (pre-run_id data)."""
+    return sorted(glob.glob(os.path.join(_triples_path(out_dir), "pred=*")))
+
+
+def _modern_triple_dirs(out_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(_triples_path(out_dir), "run_id=*")))
+
+
+def _marker_table(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Markers normalized to (unit_key, run_id); legacy marker files (no
+    run_id column) read as run_id='legacy' via parquet schema merge."""
+    ppath = _processed_path(out_dir)
+    if not os.path.exists(ppath):
+        return None
+    m = spark.read.option("mergeSchema", "true").parquet(ppath)
+    if "run_id" not in m.columns:
+        return m.withColumn("run_id", F.lit(LEGACY_RUN_ID))
+    return m.withColumn("run_id", F.coalesce("run_id", F.lit(LEGACY_RUN_ID)))
+
+
+def _raw_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All physical triples regardless of layout generation, with a run_id
+    column (legacy rows get run_id='legacy')."""
+    tpath = _triples_path(out_dir)
+    legacy, modern = _legacy_triple_dirs(out_dir), _modern_triple_dirs(out_dir)
+    parts = []
+    if modern:
+        parts.append(spark.read.option("basePath", tpath).parquet(*modern))
+    if legacy:
+        parts.append(
+            spark.read.option("basePath", tpath)
+            .parquet(*legacy)
+            .withColumn("run_id", F.lit(LEGACY_RUN_ID))
+        )
+    if not parts:
+        # no partition dirs at all: surface the same error a direct read would
+        return spark.read.parquet(tpath)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def pending_source_files(
     spark: SparkSession, source_files: DataFrame, out_dir: str
 ) -> DataFrame:
     """Anti-join the source against already-processed unit keys."""
-    ppath = _processed_path(out_dir)
-    if not os.path.exists(ppath):
+    markers = _marker_table(spark, out_dir)
+    if markers is None:
         return source_files
-    done = spark.read.parquet(ppath).select("unit_key")
+    done = markers.select("unit_key")
     keyed = source_files.withColumn("unit_key", _unit_key_col())
     return keyed.join(done, "unit_key", "left_anti").drop("unit_key")
 
 
 def committed_run_ids(spark: SparkSession, out_dir: str) -> DataFrame:
-    """(run_id) of runs whose marker write completed — the commit record."""
-    ppath = _processed_path(out_dir)
-    if not os.path.exists(ppath):
-        return spark.createDataFrame([], "run_id string")
-    return spark.read.parquet(ppath).select("run_id").dropDuplicates(["run_id"])
+    """(run_id) of runs whose marker write completed — the commit record.
+    Pre-run_id data is an implicitly committed 'legacy' run (the old writer
+    had no invisible-until-committed phase)."""
+    markers = _marker_table(spark, out_dir)
+    ids = (
+        markers.select("run_id").dropDuplicates(["run_id"])
+        if markers is not None
+        else spark.createDataFrame([], "run_id string")
+    )
+    if _legacy_triple_dirs(out_dir):
+        ids = ids.union(
+            spark.createDataFrame([(LEGACY_RUN_ID,)], "run_id string")
+        ).dropDuplicates(["run_id"])
+    return ids
 
 
 def ingest_increment(
@@ -98,9 +163,7 @@ def ingest_increment(
     )
     # count the increment from what was actually written for THIS run
     n_triples = (
-        spark.read.parquet(_triples_path(out_dir))
-        .where(F.col("run_id") == run_id)
-        .count()
+        _raw_triples(spark, out_dir).where(F.col("run_id") == run_id).count()
     )
     # phase 2 (commit point): markers carry the run_id that validates the data
     (
@@ -117,7 +180,7 @@ def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     """Committed triples only: data whose run_id has markers. Orphan data
     from a crashed run (data written, markers not) is filtered out — the
     run-id set is tiny, so the semi join is a broadcast."""
-    t = spark.read.parquet(_triples_path(out_dir))
+    t = _raw_triples(spark, out_dir)
     committed = committed_run_ids(spark, out_dir)
     return t.join(F.broadcast(committed), "run_id", "left_semi").drop("run_id")
 
@@ -126,9 +189,7 @@ def orphan_run_ids(spark: SparkSession, out_dir: str) -> list[str]:
     """run_ids with data on disk but no commit markers (crashed runs) —
     their directories can be deleted at leisure; readers never see them."""
     data_runs = (
-        spark.read.parquet(_triples_path(out_dir))
-        .select("run_id")
-        .dropDuplicates(["run_id"])
+        _raw_triples(spark, out_dir).select("run_id").dropDuplicates(["run_id"])
     )
     committed = committed_run_ids(spark, out_dir)
     return [

@@ -418,18 +418,33 @@ with_micro AS (
   UNION ALL
   SELECT 'MICRO', sum(gold_count)::BIGINT, sum(pred_count)::BIGINT,
          sum(tp)::BIGINT FROM per_label
+),
+scored AS (
+  SELECT label, gold_count, pred_count, tp,
+    CASE WHEN pred_count > 0 THEN tp / pred_count::DOUBLE ELSE 0.0 END AS precision,
+    CASE WHEN gold_count > 0 THEN tp / gold_count::DOUBLE ELSE 0.0 END AS recall
+  FROM with_micro
+),
+scored_f1 AS (
+  SELECT *, CASE WHEN precision + recall > 0
+                 THEN 2 * precision * recall / (precision + recall)
+                 ELSE 0.0 END AS f1
+  FROM scored
+),
+-- MACRO = unweighted mean of the UNROUNDED per-label scores, micro excluded;
+-- count columns are null (the reference macro entry has only the 3 scores)
+with_macro AS (
+  SELECT label, gold_count, pred_count, tp, precision, recall, f1 FROM scored_f1
+  UNION ALL
+  SELECT 'MACRO', NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+         avg(precision), avg(recall), avg(f1)
+  FROM scored_f1 WHERE label != 'MICRO'
 )
 SELECT label, gold_count, pred_count, tp,
-  round(CASE WHEN pred_count > 0 THEN tp / pred_count::DOUBLE ELSE 0.0 END, 6) AS precision,
-  round(CASE WHEN gold_count > 0 THEN tp / gold_count::DOUBLE ELSE 0.0 END, 6) AS recall,
-  round(CASE WHEN (CASE WHEN pred_count > 0 THEN tp / pred_count::DOUBLE ELSE 0.0 END
-               + CASE WHEN gold_count > 0 THEN tp / gold_count::DOUBLE ELSE 0.0 END) > 0
-        THEN 2 * (CASE WHEN pred_count > 0 THEN tp / pred_count::DOUBLE ELSE 0.0 END)
-               * (CASE WHEN gold_count > 0 THEN tp / gold_count::DOUBLE ELSE 0.0 END)
-             / ((CASE WHEN pred_count > 0 THEN tp / pred_count::DOUBLE ELSE 0.0 END)
-               + (CASE WHEN gold_count > 0 THEN tp / gold_count::DOUBLE ELSE 0.0 END))
-        ELSE 0.0 END, 6) AS f1
-FROM with_micro
+  round(precision, 6) AS precision,
+  round(recall, 6) AS recall,
+  round(f1, 6) AS f1
+FROM with_macro
 """
 
 

@@ -54,11 +54,15 @@ def test_per_label_f1(spark, pipeline_outputs):
     ).collect()
     by_label = {r["label"]: r for r in table}
     assert by_label["MICRO"]["f1"] == 1.0
+    # MACRO = unweighted mean over labels; all per-label f1 are 1.0 here
+    assert by_label["MACRO"]["f1"] == 1.0
+    assert by_label["MACRO"]["tp"] is None
     assert set(by_label) == {
         "per:employee_of",
         "per:founder",
         "org:founded_by",
         "MICRO",
+        "MACRO",
     }
 
 

@@ -66,3 +66,29 @@ def test_ivf_probes_are_broadcast(spark, sf001):
 
     plan = _plan(q_ann_ivf(spark, sf001))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_mention_stage_has_no_range_sampling(spark, sf001):
+    """bucket_by_length must not plan a RangePartitioning above the
+    tokenize+window UDF: the RangePartitioner's sampling job would execute
+    the UDF a second time (a full extra pass at 100 TB). The plan must show
+    a plain hash exchange instead."""
+    from pytorch_ie_spark.operators.mentions import (
+        bucket_by_length,
+        detect_mentions,
+        encode_documents,
+    )
+    from pytorch_ie_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf001, "documents").limit(50).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        F.sha2("text", 256).alias("content_sha256"),
+    )
+    for df in (
+        bucket_by_length(encode_documents(docs)),
+        detect_mentions(docs),
+    ):
+        plan = _plan(df)
+        assert "rangepartitioning" not in plan.lower(), plan
+        assert "hashpartitioning" in plan.lower()

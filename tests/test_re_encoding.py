@@ -128,6 +128,39 @@ def test_marker_insertion_ordered(spark):
     assert list(out) == ["a", "[H]", "b", "[/H]", "c", "[T]", "d", "[/T]", "e"]
 
 
+def test_gather_nested_arguments(spark):
+    """A narrow second arg nested inside the first can have its frame begin
+    LEFT of the first arg's frame (frame order != arg order).  The merged
+    segment must start at the frame-union start, not f1_start — verified
+    against the reference mask simulation with wide windows."""
+    # (doc_id, hs, he, ts, te, L, max_tokens)
+    cases = [
+        (0, 100, 300, 105, 110, 400, 512),  # ADVICE example: len must be 328
+        (1, 2, 5, 2, 3, 20, 8),             # tight mpa=3 nesting
+        (2, 2, 5, 3, 4, 20, 8),             # interior nesting
+        (3, 50, 200, 55, 60, 1000, 512),    # nested far from bounds
+        (4, 0, 150, 1, 4, 300, 512),        # nesting at the left clamp
+        (5, 280, 400, 390, 395, 400, 512),  # nesting at the right clamp
+    ]
+    for (did, hs, he, ts, te, L, mt) in cases:
+        df = spark.createDataFrame([(did, hs, he, ts, te, L)], PAIR_SCHEMA)
+        r = with_discontinuous_frames(df, mt, glue_len=1).collect()[0]
+        # match the operator's ordering: head is "a" on equal starts
+        a, b = ((hs, he), (ts, te)) if hs <= ts else ((ts, te), (hs, he))
+        ref = _reference_gather(a, b, L, mt, 1)
+        assert ref is not None and not r["skipped"], did
+        (na, nb), gathered = ref
+        assert (r["new_a_start"], r["new_a_end"]) == na, (did, r)
+        assert (r["new_b_start"], r["new_b_end"]) == nb, (did, r)
+        assert r["gathered_len"] == gathered, (did, r)
+    # the ADVICE case specifically: spans keep their absolute positions
+    df = spark.createDataFrame([(9, 100, 300, 105, 110, 400)], PAIR_SCHEMA)
+    r = with_discontinuous_frames(df, 512, glue_len=1).collect()[0]
+    assert (r["new_a_start"], r["new_a_end"]) == (100, 300)
+    assert (r["new_b_start"], r["new_b_end"]) == (105, 110)
+    assert r["gathered_len"] == 328
+
+
 def test_gather_overlapping_arguments(spark):
     """Candidate args can overlap (inner distance 0); frames must merge and
     shifts must match the reference mask simulation."""

@@ -46,8 +46,23 @@ def test_bio_invalid_raises():
 
 
 def test_io_tags():
-    tags = ["I-PER", "I-PER", "O", "I-ORG"]
+    # IO encoding carries plain labels (no prefixes)
+    tags = ["PER", "PER", "O", "ORG"]
     assert sorted(io_tags_to_spans(tags)) == [("ORG", (3, 3)), ("PER", (0, 1))]
+
+
+def test_io_tags_verbatim_like_reference():
+    # the reference (utils/span.py:121-165) compares raw tag strings: a
+    # prefixed tag set fed into the IO decoder yields distinct runs per raw
+    # tag, and classes_to_ignore matches whole tags
+    tags = ["B-PER", "I-PER", "I-PER", "O"]
+    assert sorted(io_tags_to_spans(tags)) == [
+        ("B-PER", (0, 0)),
+        ("I-PER", (1, 2)),
+    ]
+    assert sorted(
+        io_tags_to_spans(["PER", "LOC", "PER"], classes_to_ignore=["LOC"])
+    ) == [("PER", (0, 0)), ("PER", (2, 2))]
 
 
 def test_bio_round_trip():
