@@ -146,22 +146,95 @@ class GazetteerNerModel:
         ]
 
 
+@register_model("hf_token_classification")
 class HFTokenClassificationModel:
-    """Real transformer NER (optional; requires `transformers`+`torch`)."""
+    """Real transformer token-classification NER (requires
+    `transformers`+`torch`, imported lazily at construction so the
+    per-worker singleton in `resolve_model` loads the checkpoint exactly
+    once per python worker).
 
-    def __init__(self, model_name_or_path: str, batch_size: int = 32):
+    Reference inference contract:
+      - pipeline.py:409-417: batched forward under no-grad, then
+        taskmodule.unbatch_output per batch,
+      - model.py:37-40: predict = forward + decode,
+      - transformer_token_classification.py:288-292 (taskmodule):
+        tags = id_to_label[argmax(logits, -1)].
+
+    Word alignment: the taskmodule feeds pre-split words
+    (`is_split_into_words=True`); a word's tag is read from its FIRST
+    subword position (continuation subwords are ignored), padding/special
+    positions have word_id None. Padding is dynamic to the
+    longest-in-batch (transformer_token_classification.py:331-349), which
+    is what the upstream length bucketing keeps cheap.
+
+    The sandbox ships no torch/transformers: construction raises
+    NotImplementedError THEN, but the full load->tokenize->forward->
+    argmax->align path below is exercised in tests against a fake
+    transformers/torch module pair (tests/fake_hf/) shipped to Spark
+    workers with addPyFile."""
+
+    def __init__(
+        self,
+        model_name_or_path: str,
+        batch_size: int = 32,
+        device: str = "cpu",
+    ):
         try:
-            import torch  # noqa: F401
-            from transformers import (  # noqa: F401
+            import torch
+            from transformers import (
                 AutoModelForTokenClassification,
                 AutoTokenizer,
             )
-        except ImportError as e:  # pragma: no cover - not installed in sandbox
+        except ImportError as e:
             raise NotImplementedError(
                 "transformers/torch not available in this environment; "
                 "use 'rule_ner' or 'gazetteer_ner'"
             ) from e
-        raise NotImplementedError("HF path is wired but untested in-sandbox")
+        self._torch = torch
+        self.batch_size = int(batch_size)
+        self.device = device
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        self.model = AutoModelForTokenClassification.from_pretrained(
+            model_name_or_path
+        )
+        self.model.eval()
+        if hasattr(self.model, "to"):
+            self.model.to(device)
+        self.id2label = {
+            int(k): v for k, v in self.model.config.id2label.items()
+        }
+
+    def predict_tags(self, batch_tokens: list[list[str]]) -> list[list[str]]:
+        torch = self._torch
+        out: list[list[str]] = []
+        for i in range(0, len(batch_tokens), self.batch_size):
+            chunk = batch_tokens[i : i + self.batch_size]
+            enc = self.tokenizer(
+                chunk,
+                is_split_into_words=True,
+                padding=True,  # dynamic: longest-in-batch
+                truncation=True,
+                return_tensors="pt",
+            )
+            inputs = {
+                k: (v.to(self.device) if hasattr(v, "to") else v)
+                for k, v in enc.items()
+            }
+            with torch.inference_mode():
+                logits = self.model(**inputs).logits
+            pred_ids = logits.argmax(-1)
+            for row, tokens in enumerate(chunk):
+                word_ids = enc.word_ids(row)
+                tags = ["O"] * len(tokens)
+                seen: set[int] = set()
+                for pos, wid in enumerate(word_ids):
+                    # first-subword tag wins; specials/padding are None
+                    if wid is None or wid in seen:
+                        continue
+                    seen.add(wid)
+                    tags[wid] = self.id2label[int(pred_ids[row][pos])]
+                out.append(tags)
+        return out
 
 
 def relation_rules_for_doc(

@@ -2889,9 +2889,524 @@ WHERE {_rule_case_sql()} IS NOT NULL
 """
 
 
+# ------------------------------------------- marker insertion (RE encode)
+
+MARKERS_MAX_DIST = 4
+
+
+def q_kg_re_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered marker insertion around RE candidate arguments ([H]/[/H]
+    before/after the head span, [T]/[/T] around the tail — reference
+    re_text_classification_with_indices.py marker construction): the
+    actual insert_pair_markers_col flatten/transform expression over the
+    document token array, joined to a string for comparison."""
+    from .operators.re_encoding import insert_pair_markers_col
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split("text", " ").alias("tokens"),
+    )
+    pairs = _token_pairs_df(spark, sf_dir).where(
+        F.col("tok_distance") <= MARKERS_MAX_DIST
+    )
+    marked = insert_pair_markers_col(
+        F.col("tokens"),
+        F.col("head_tok_start"),
+        F.col("head_tok_end"),
+        F.col("tail_tok_start"),
+        F.col("tail_tok_end"),
+    )
+    return pairs.join(docs, "doc_id").select(
+        "doc_id",
+        "head_tok_start",
+        "tail_tok_start",
+        F.concat_ws(" ", marked).alias("marked"),
+    )
+
+
+RE_MARKERS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(text,' ')) AS surface,
+         (generate_subscripts(string_split(text,' '), 1) - 1)::BIGINT AS tok_idx
+  FROM documents
+), ments AS (
+  SELECT doc_id, tok_idx FROM toks
+  WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), pairs AS (
+  SELECT h.doc_id, h.tok_idx AS head_tok_start, t.tok_idx AS tail_tok_start
+  FROM ments h JOIN ments t
+    ON h.doc_id = t.doc_id AND h.tok_idx < t.tok_idx
+  WHERE greatest(0, t.tok_idx - (h.tok_idx + 1)) <= {MARKERS_MAX_DIST}
+), dec AS (
+  SELECT p.doc_id, p.head_tok_start, p.tail_tok_start, tk.tok_idx,
+    CASE WHEN tk.tok_idx = p.head_tok_start
+           THEN '[H] ' || tk.surface || ' [/H]'
+         WHEN tk.tok_idx = p.tail_tok_start
+           THEN '[T] ' || tk.surface || ' [/T]'
+         ELSE tk.surface END AS piece
+  FROM pairs p JOIN toks tk ON tk.doc_id = p.doc_id
+)
+SELECT doc_id, head_tok_start, tail_tok_start,
+       string_agg(piece, ' ' ORDER BY tok_idx) AS marked
+FROM dec GROUP BY doc_id, head_tok_start, tail_tok_start
+"""
+
+
+# ------------------------------------ special-token mask + find_sublist
+
+
+def q_kg_special_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-style sequence assembly: per document build
+    [CLS] + (token if in gazetteer else [UNK]) + [SEP] inside the Arrow
+    batch, then run the REAL get_special_token_mask (unk EXCLUDED from the
+    special set — an unk is a real input token, reference
+    utils/span.py:263-269) and find_sublist (first-occurrence scan,
+    re_text_classification_with_indices.py:119-132) over it. Emits
+    closed-form-checkable per-doc scalars:
+      n_special      — specials counted by the mask (CLS+SEP only),
+      n_unk          — unk tokens (NOT special),
+      first_gaz_pos  — find_sublist(seq, [first gazetteer surface]),
+      unk_then_first — find_sublist(seq, ['[UNK]', first gazetteer
+                       surface]), -1 when that bigram never occurs."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .functions.span import find_sublist, get_special_token_mask
+
+    gaz = frozenset(GAZETTEER)
+    vocab = {w: 10 + i for i, w in enumerate(sorted(gaz))}
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tokens = (text or "").split(" ")
+                seq = (
+                    ["[CLS]"]
+                    + [t if t in gaz else "[UNK]" for t in tokens]
+                    + ["[SEP]"]
+                )
+                ids = [1] + [vocab.get(t, 3) for t in tokens] + [2]
+                mask = get_special_token_mask(ids, {1, 2, 3}, unk_id=3)
+                firsts = [t for t in tokens if t in gaz]
+                g1 = firsts[0] if firsts else None
+                rows.append(
+                    (
+                        doc_id,
+                        len(tokens),
+                        sum(mask),
+                        sum(1 for i in ids if i == 3),
+                        find_sublist(seq, [g1]) if g1 else -1,
+                        find_sublist(seq, ["[UNK]", g1]) if g1 else -1,
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_tokens",
+                "n_special",
+                "n_unk",
+                "first_gaz_pos",
+                "unk_then_first",
+            ],
+        )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return docs.mapInPandas(
+        assemble,
+        schema=(
+            "doc_id long, n_tokens long, n_special long, n_unk long, "
+            "first_gaz_pos long, unk_then_first long"
+        ),
+    )
+
+
+SPECIAL_TOKENS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(text,' ')) AS surface,
+         (generate_subscripts(string_split(text,' '), 1) - 1)::BIGINT AS tok_idx
+  FROM documents
+), flagged AS (
+  SELECT doc_id, surface, tok_idx,
+         surface IN ({",".join(f"'{w}'" for w in GAZETTEER)}) AS is_gaz,
+         lag(surface) OVER (PARTITION BY doc_id ORDER BY tok_idx) AS prev
+  FROM toks
+), g1 AS (
+  SELECT doc_id, min(tok_idx) AS g1_idx
+  FROM flagged WHERE is_gaz GROUP BY doc_id
+), g1s AS (
+  SELECT f.doc_id, f.surface AS g1_surface
+  FROM flagged f JOIN g1 ON f.doc_id = g1.doc_id AND f.tok_idx = g1.g1_idx
+), agg AS (
+  SELECT f.doc_id,
+    count(*)::BIGINT AS n_tokens,
+    2::BIGINT AS n_special,
+    count(*) FILTER (NOT f.is_gaz)::BIGINT AS n_unk,
+    -- find_sublist over [CLS]+mapped+[SEP]: seq position = tok_idx + 1;
+    -- the first occurrence of g1_surface IS the first gazetteer hit
+    coalesce(min(f.tok_idx + 1) FILTER (
+      f.surface = s.g1_surface), -1)::BIGINT AS first_gaz_pos,
+    -- '[UNK]' immediately before g1_surface: seq index of the unk
+    coalesce(min(f.tok_idx) FILTER (
+      f.surface = s.g1_surface AND f.prev IS NOT NULL
+      AND f.prev NOT IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+    ), -1)::BIGINT AS unk_then_first
+  FROM flagged f LEFT JOIN g1s s ON f.doc_id = s.doc_id
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_tokens, n_special, n_unk,
+  CASE WHEN first_gaz_pos IS NULL THEN -1 ELSE first_gaz_pos END
+    AS first_gaz_pos,
+  unk_then_first
+FROM agg
+"""
+
+
+# --------------------------------------------- annotated-JSON source
+
+
+def q_corpus_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotated-JSON corpus parse path (reference fixture format,
+    tests/conftest.py:22-55): one fixture-shaped JSON document object is
+    synthesized per document (entities = gazetteer mentions ordered by
+    start, relations = adjacent-mention pairs carrying a rule label, as
+    HEAD/TAIL INDICES into the entities array), serialized with to_json,
+    then parsed back through the reader's from_json + element_at index
+    resolution (sources/readers.py annotated_json_from_strings). Output =
+    the resolved relation rows with sha-prefix mention ids, proving the
+    index->entity resolution lands on the right spans."""
+    from .sources.readers import annotated_json_from_strings
+
+    m = mentions_df(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("start")
+    idxed = m.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("start").cast("int").alias("start"),
+        F.col("end").cast("int").alias("end"),
+        "label",
+        (F.row_number().over(w) - 1).alias("idx"),
+    )
+    ents = idxed.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("start", "end", "label"))
+        ).alias("entities")
+    )
+    nxt = idxed.select(
+        "doc_id",
+        "idx",
+        "label",
+        F.lead("idx").over(w).alias("next_idx"),
+        F.lead("label").over(w).alias("next_label"),
+    )
+    rels = (
+        nxt.where(F.col("next_idx").isNotNull())
+        .select(
+            "doc_id",
+            F.col("idx").alias("head"),
+            F.col("next_idx").alias("tail"),
+            _rule_label_col_from(
+                F.col("label"), F.col("next_label")
+            ).alias("label"),
+        )
+        .where(F.col("label").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("head", "tail", "label"))
+            ).alias("relations")
+        )
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    jsonified = (
+        docs.join(ents, "doc_id")
+        .join(rels, "doc_id", "left")
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("doc_id").cast("string").alias("id"),
+                    F.col("text"),
+                    F.array()
+                    .cast("array<struct<start:int,end:int>>")
+                    .alias("sentences"),
+                    F.col("entities"),
+                    F.coalesce(
+                        F.col("relations"),
+                        F.array().cast(
+                            "array<struct<head:int,tail:int,label:string>>"
+                        ),
+                    ).alias("relations"),
+                    F.create_map().cast("map<string,string>").alias("metadata"),
+                )
+            ).alias("json")
+        )
+    )
+    _, _, relations = annotated_json_from_strings(jsonified)
+    return relations.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "head_mention_id",
+        "tail_mention_id",
+        "label",
+    )
+
+
+CORPUS_JSON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS surface,
+         generate_subscripts(string_split(text,' '), 1) AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id::BIGINT AS doc_id, surface,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS start
+  FROM toks
+), ments AS (
+  SELECT doc_id, start, start + length(surface) AS fin,
+         {_gaz_case_sql()} AS label
+  FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), pairs AS (
+  SELECT doc_id, start, fin, label,
+    lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS t_start,
+    lead(fin) OVER (PARTITION BY doc_id ORDER BY start) AS t_fin,
+    lead(label) OVER (PARTITION BY doc_id ORDER BY start) AS t_label
+  FROM ments
+)
+SELECT doc_id,
+  substr(sha256(concat_ws('|', doc_id::VARCHAR, start::VARCHAR,
+                          fin::VARCHAR, label)), 1, 32) AS head_mention_id,
+  substr(sha256(concat_ws('|', doc_id::VARCHAR, t_start::VARCHAR,
+                          t_fin::VARCHAR, t_label)), 1, 32) AS tail_mention_id,
+  {_rule_case_sql("label", "t_label")} AS label
+FROM pairs
+WHERE t_start IS NOT NULL
+  AND {_rule_case_sql("label", "t_label")} IS NOT NULL
+"""
+
+
+# ---------------------------------------------- span-enumeration head
+
+SPAN_ENUM_MAX_LEN = 4
+SPAN_ENUM_THRESHOLD = 0.95
+
+
+def q_kg_span_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-enumeration classification (reference
+    transformer_span_classification.py:101-131): enumerate every token
+    span of length 1..{max_len} per document inside the Arrow batch, score
+    each against each class with the deterministic md5 mock head, and emit
+    only spans clearing the threshold as MultiLabeledSpan rows — the dense
+    O(n*L*C) enumeration never leaves the UDF."""
+    from .operators.span_enum import enumerate_and_classify_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return enumerate_and_classify_spans(
+        docs,
+        max_span_length=SPAN_ENUM_MAX_LEN,
+        threshold=SPAN_ENUM_THRESHOLD,
+    )
+
+
+SPAN_ENUM_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(text, ' ') AS toks
+  FROM documents
+), lens AS (
+  SELECT doc_id, toks, unnest(generate_series(1, {SPAN_ENUM_MAX_LEN}))::BIGINT AS l
+  FROM docs
+), starts AS (
+  SELECT doc_id, toks, l,
+         unnest(generate_series(0, len(toks)::BIGINT - l))::BIGINT AS s
+  FROM lens WHERE len(toks) >= l
+), surf AS (
+  SELECT doc_id, s AS tok_start, s + l AS tok_end,
+         array_to_string(toks[s+1:s+l], ' ') AS surface
+  FROM starts
+), scored AS (
+  SELECT doc_id, tok_start, tok_end, surface, c.label,
+    (('0x' || substr(md5(surface || '|' || c.label), 1, 8))::BIGINT % 10000)
+      / 10000.0 AS score
+  FROM surf CROSS JOIN (VALUES ('ENGINE'), ('OP'), ('ALGO')) c(label)
+)
+SELECT doc_id, tok_start, tok_end, surface, label, round(score, 6) AS score
+FROM scored WHERE score >= {SPAN_ENUM_THRESHOLD}
+"""
+
+
+# ------------------------------------------------ tokenize round-trip
+
+TOKRT_WINDOW = 32
+TOKRT_OVERLAP = 8
+TOKRT_DOC_MOD = 3
+
+
+def q_kg_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level tokenize_document round-trip (reference
+    utils/document.py:150-267 + test_document_tokenize.py contract):
+    window-tokenize documents (ONE tokenizer UDF pass), convert char-span
+    annotations into every overlapping window via inward alignment
+    (closed-form array-filter counts, no second UDF), round-trip back to
+    char space, and keep missed annotations as null-coordinate rows.
+
+    Annotation variants per gazetteer mention exercise every conversion
+    path: exact (token-aligned, round-trip-exact), inner (+1 start, clips
+    back to the token -> inexact), outer (pads into whitespace, clips back
+    -> inexact), gap (whitespace-only -> MISSED in every window), multi
+    (mention..next-mention, multi-token, round-trip-exact where it fits in
+    one window, clipped where it straddles)."""
+    from .operators.doc_tokenize import tokenize_documents_roundtrip
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % TOKRT_DOC_MOD == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "text",
+            F.sha2("text", 256).alias("content_sha256"),
+        )
+    )
+    m = mentions_df(spark, sf_dir).where(
+        F.col("doc_id") % TOKRT_DOC_MOD == 0
+    )
+    w = W.partitionBy("doc_id").orderBy("start")
+    base = m.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        F.lead(F.col("end")).over(w).cast("long").alias("next_end"),
+    )
+    variants = [
+        ("exact", F.col("start"), F.col("end"), None),
+        ("inner", F.col("start") + 1, F.col("end"), None),
+        ("outer", F.col("start") - 1, F.col("end") + 1, F.col("start") > 0),
+        ("gap", F.col("end"), F.col("end") + 1, None),
+        (
+            "multi",
+            F.col("start"),
+            F.col("next_end"),
+            F.col("next_end").isNotNull(),
+        ),
+    ]
+    anns = None
+    for name, s, e, cond in variants:
+        v = base if cond is None else base.where(cond)
+        v = v.select(
+            "doc_id",
+            s.cast("long").alias("start"),
+            e.cast("long").alias("end"),
+            F.lit(name).alias("variant"),
+        )
+        anns = v if anns is None else anns.unionByName(v)
+    out = tokenize_documents_roundtrip(docs, anns, TOKRT_WINDOW, TOKRT_OVERLAP)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "variant",
+        "start",
+        "end",
+        F.col("window_idx").cast("long").alias("window_idx"),
+        "tok_start",
+        "tok_end",
+        "rt_start",
+        "rt_end",
+        "exact",
+        "missed",
+    )
+
+
+TOKENIZE_ROUNDTRIP_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % {TOKRT_DOC_MOD} = 0
+), tok AS (
+  SELECT doc_id, unnest(toks) AS surface,
+         generate_subscripts(toks, 1) AS ord
+  FROM docs
+), pos AS (
+  SELECT doc_id, surface, ord,
+         (sum(length(surface)+1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1)::BIGINT AS cs
+  FROM tok
+), offs AS (
+  SELECT doc_id,
+         list(cs ORDER BY ord) AS starts_arr,
+         list(cs + length(surface) ORDER BY ord) AS ends_arr,
+         count(*)::BIGINT AS n_toks
+  FROM pos GROUP BY doc_id
+), ments AS (
+  SELECT doc_id, cs AS start, cs + length(surface) AS fin,
+         lead(cs + length(surface))
+           OVER (PARTITION BY doc_id ORDER BY cs) AS next_end
+  FROM pos WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), anns AS (
+  SELECT doc_id, start::BIGINT AS start, fin::BIGINT AS fin,
+         'exact' AS variant FROM ments
+  UNION ALL SELECT doc_id, start + 1, fin, 'inner' FROM ments
+  UNION ALL SELECT doc_id, start - 1, fin + 1, 'outer' FROM ments
+    WHERE start > 0
+  UNION ALL SELECT doc_id, fin, fin + 1, 'gap' FROM ments
+  UNION ALL SELECT doc_id, start, next_end, 'multi' FROM ments
+    WHERE next_end IS NOT NULL
+), nw AS (
+  SELECT doc_id, n_toks,
+    CASE WHEN n_toks <= {TOKRT_WINDOW} THEN 1
+         ELSE 1 + ceil((n_toks - {TOKRT_WINDOW})
+                        / {TOKRT_WINDOW - 2 * TOKRT_OVERLAP}.0)::BIGINT
+    END AS nw
+  FROM offs
+), winspan AS (
+  SELECT doc_id,
+    unnest(generate_series(0, nw - 1))::BIGINT AS widx,
+    n_toks
+  FROM nw
+), wins AS (
+  SELECT doc_id, widx,
+    ({TOKRT_WINDOW - 2 * TOKRT_OVERLAP} * widx)::BIGINT AS ws,
+    least({TOKRT_WINDOW - 2 * TOKRT_OVERLAP} * widx + {TOKRT_WINDOW},
+          n_toks)::BIGINT AS we
+  FROM winspan
+), aligned AS (
+  SELECT a.doc_id, a.variant, a.start, a.fin, w.widx, w.ws, w.we,
+    greatest(len(list_filter(o.ends_arr, e -> e <= a.start))::BIGINT,
+             w.ws) AS f,
+    least(len(list_filter(o.starts_arr, s -> s < a.fin))::BIGINT - 1,
+          w.we - 1) AS l,
+    o.starts_arr, o.ends_arr
+  FROM anns a
+  JOIN offs o USING (doc_id)
+  JOIN wins w ON w.doc_id = a.doc_id
+), conv AS (
+  SELECT doc_id, variant, start, fin, widx,
+    (f - ws)::BIGINT AS tok_start, (l + 1 - ws)::BIGINT AS tok_end,
+    starts_arr[f + 1]::BIGINT AS rt_start, ends_arr[l + 1]::BIGINT AS rt_end
+  FROM aligned WHERE f <= l
+)
+SELECT a.doc_id, a.variant, a.start, a.fin AS "end",
+  c.widx AS window_idx, c.tok_start, c.tok_end, c.rt_start, c.rt_end,
+  coalesce(c.rt_start = a.start AND c.rt_end = a.fin, false) AS exact,
+  (c.widx IS NULL) AS missed
+FROM anns a LEFT JOIN conv c
+  ON c.doc_id = a.doc_id AND c.variant = a.variant
+ AND c.start = a.start AND c.fin = a.fin
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # KG construction
     "kg_mentions": (q_kg_mentions, MENTIONS_ORACLE),
+    "kg_tokenize_roundtrip": (
+        q_kg_tokenize_roundtrip,
+        TOKENIZE_ROUNDTRIP_ORACLE,
+    ),
+    "kg_span_enum": (q_kg_span_enum, SPAN_ENUM_ORACLE),
+    "corpus_json": (q_corpus_json, CORPUS_JSON_ORACLE),
+    "kg_re_markers": (q_kg_re_markers, RE_MARKERS_ORACLE),
+    "kg_special_tokens": (q_kg_special_tokens, SPECIAL_TOKENS_ORACLE),
     "kg_candidate_pairs": (q_kg_candidate_pairs, CANDIDATE_PAIRS_ORACLE),
     "kg_relations": (q_kg_relations, _relations_oracle(MAX_REL_DISTANCE)),
     "kg_triples": (q_kg_triples, TRIPLES_ORACLE),

@@ -89,6 +89,39 @@ def read_annotated_json_corpus(
         .select(F.explode("data").alias("d"))
         .select("d.*")
     )
+    return _annotated_corpus_frames(raw)
+
+
+#: one fixture-format document object (the element type of
+#: ANNOTATED_JSON_SCHEMA's `data` array)
+ANNOTATED_JSON_DOC_SCHEMA = (
+    "struct<"
+    "id:string, text:string, "
+    "sentences:array<struct<start:int,`end`:int>>, "
+    "entities:array<struct<start:int,`end`:int,label:string>>, "
+    "relations:array<struct<head:int,tail:int,label:string>>, "
+    "metadata:map<string,string>>"
+)
+
+
+def annotated_json_from_strings(
+    df: DataFrame, json_col: str = "json"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Same parse core as read_annotated_json_corpus over in-plan JSON
+    strings (one fixture-format document object per row) — from_json with
+    the identical schema, entity index resolution included. Lets the parse
+    path be exercised (and oracle-gated) without a disk round trip."""
+    raw = df.select(
+        F.from_json(F.col(json_col), ANNOTATED_JSON_DOC_SCHEMA).alias("d")
+    ).select("d.*")
+    return _annotated_corpus_frames(raw)
+
+
+def _annotated_corpus_frames(
+    raw: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(documents, mentions, relations) from the parsed fixture-format rows
+    (columns id/text/sentences/entities/relations/metadata)."""
     documents = raw.select(
         F.col("id").alias("doc_id"),
         "text",

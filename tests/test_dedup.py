@@ -92,3 +92,43 @@ def test_ngram_jaccard_hot_gram_cap(spark):
     capped_pairs = {(r["src_id"], r["dst_id"]) for r in capped.collect()}
     assert (0, 1) in capped_pairs
     assert capped_pairs < full_pairs  # strictly fewer joined pairs
+
+
+def test_minhash_bucket_cap_window_path(spark):
+    """The fused (window-count) bucket cap: capped run equals the exact run
+    when no bucket exceeds the cap, and a tiny cap drops the viral bucket's
+    pairs while lsh_dropped_buckets reports it."""
+    from pytorch_ie_spark.operators.dedup import lsh_dropped_buckets
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base + " ok", base + " no", "entirely different content x"]
+    df = _docs(spark, texts)
+    exact = sorted(
+        map(tuple, minhash_lsh_pairs(df, "doc_id", "text").collect())
+    )
+    roomy = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(df, "doc_id", "text", max_bucket=100).collect(),
+        )
+    )
+    assert exact == roomy and len(exact) >= 3  # 3 near-dup pairs
+    # cap=2: the 3-doc band buckets are dropped -> no pairs survive them
+    capped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket=2).collect()
+    assert len(capped) < len(exact)
+    dropped = lsh_dropped_buckets(df, "doc_id", "text", max_bucket=2).collect()
+    assert len(dropped) > 0 and all(r["bucket_size"] > 2 for r in dropped)
+
+
+def test_star_cc_raises_when_not_converged(spark):
+    from pytorch_ie_spark.operators.canonicalize import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(40)], "src string, dst string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(edges, max_iter=1)

@@ -1,0 +1,111 @@
+"""Document tokenize round-trip: the closed-form (array-filter) alignment
+in operators/doc_tokenize.py must agree with the direct Python
+char_span_to_token_span / token_span_to_char_span per window, including
+clipping at window boundaries, whitespace-only misses, and the exact
+round-trip flag (reference contract: utils/document.py:150-299)."""
+
+from pyspark.sql import functions as F
+
+from pytorch_ie_spark.functions.tokenize import (
+    char_span_to_token_span,
+    token_span_to_char_span,
+    tokenize_with_offsets,
+)
+from pytorch_ie_spark.functions.window import enumerate_windows
+from pytorch_ie_spark.operators.doc_tokenize import (
+    tokenize_documents_roundtrip,
+)
+
+DOCS = [
+    ("d1", "alpha beta gamma delta epsilon zeta eta theta"),
+    ("d2", "one two three"),
+    ("d3", "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+]
+
+
+def _expected(doc_id, text, start, end, max_window, overlap):
+    toks = tokenize_with_offsets(text)
+    starts = [t[1] for t in toks]
+    ends = [t[2] for t in toks]
+    rows = []
+    for widx, ((ws, we), _) in enumerate(
+        enumerate_windows(len(toks), max_window, overlap)
+    ):
+        span = char_span_to_token_span(starts[ws:we], ends[ws:we], start, end)
+        if span is None:
+            continue
+        ts, te = span
+        rs, re_ = token_span_to_char_span(starts[ws:we], ends[ws:we], ts, te)
+        rows.append(
+            (doc_id, start, end, widx, ts, te, rs, re_,
+             rs == start and re_ == end, False)
+        )
+    if not rows:
+        rows.append((doc_id, start, end, None, None, None, None, None, False, True))
+    return rows
+
+
+def test_alignment_matches_python_reference(spark):
+    max_window, overlap = 6, 2
+    docs = spark.createDataFrame(
+        [(d, t, "sha") for d, t in DOCS],
+        "doc_id string, text string, content_sha256 string",
+    )
+    # every span over a char grid: aligned, misaligned, whitespace, straddling
+    anns_rows = []
+    expected = []
+    for doc_id, text in DOCS:
+        n = len(text)
+        for start in range(0, n, 3):
+            for width in (1, 2, 7, 15):
+                end = min(start + width, n + 1)
+                if end <= start:
+                    continue
+                anns_rows.append((doc_id, start, end))
+                expected.extend(
+                    _expected(doc_id, text, start, end, max_window, overlap)
+                )
+    anns = spark.createDataFrame(
+        anns_rows, "doc_id string, start long, end long"
+    )
+    out = tokenize_documents_roundtrip(docs, anns, max_window, overlap)
+    def key(x):
+        return tuple((v is None, v) for v in x)
+
+    got = sorted(
+        (
+            (
+                r["doc_id"], r["start"], r["end"], r["window_idx"],
+                r["tok_start"], r["tok_end"], r["rt_start"], r["rt_end"],
+                r["exact"], r["missed"],
+            )
+            for r in out.collect()
+        ),
+        key=key,
+    )
+    assert got == sorted(expected, key=key)
+
+
+def test_missed_and_exact_flags(spark):
+    docs = spark.createDataFrame(
+        [("d", "alpha beta", "s")],
+        "doc_id string, text string, content_sha256 string",
+    )
+    anns = spark.createDataFrame(
+        [
+            ("d", 0, 5),    # exact token
+            ("d", 0, 10),   # exact multi-token
+            ("d", 1, 5),    # inner -> clips back to (0,5), inexact
+            ("d", 5, 6),    # the space -> missed
+        ],
+        "doc_id string, start long, end long",
+    )
+    out = {
+        (r["start"], r["end"]): r
+        for r in tokenize_documents_roundtrip(docs, anns, 8, 2).collect()
+    }
+    assert out[(0, 5)]["exact"] and not out[(0, 5)]["missed"]
+    assert out[(0, 10)]["exact"] and out[(0, 10)]["tok_end"] == 2
+    r = out[(1, 5)]
+    assert not r["exact"] and (r["rt_start"], r["rt_end"]) == (0, 5)
+    assert out[(5, 6)]["missed"] and out[(5, 6)]["tok_start"] is None
