@@ -93,6 +93,68 @@ def annotations_to_token_space(
     )
 
 
+def text_documents_to_token_documents(
+    documents: DataFrame, max_window: int = 128, window_overlap: int = 16
+) -> DataFrame:
+    """Document-level as_type conversion, text -> token world (reference
+    text_based_document_to_token_based inside tokenize_document,
+    utils/document.py:150-232): one row per token window with the token
+    array and its absolute char offset arrays. Compose with
+    sources.readers.as_type for field renames; compose with
+    annotations_to_token_space to carry annotation layers across."""
+    from .mentions import encode_documents
+
+    return encode_documents(documents, max_window, window_overlap).select(
+        "doc_id",
+        "window_idx",
+        "tokens",
+        "token_starts",
+        "token_ends",
+        "n_tokens",
+        "content_sha256",
+    )
+
+
+def token_documents_to_text_documents(token_docs: DataFrame) -> DataFrame:
+    """Inverse conversion, token -> text world (reference
+    token_based_document_to_text_based, utils/document.py:302-363): the
+    text is reconstructed from the token/offset arrays by placing each
+    token at its recorded char offset (gaps become spaces), so for
+    documents whose tokens carry faithful offsets the reconstruction IS
+    the original window text. Pure JVM fold — no UDF."""
+    piece = F.aggregate(
+        F.zip_with(
+            "tokens",
+            F.zip_with(
+                "token_starts", "token_ends", lambda s, e: F.struct(
+                    s.alias("s"), e.alias("e")
+                )
+            ),
+            lambda t, se: F.struct(
+                t.alias("tok"), se["s"].alias("s"), se["e"].alias("e")
+            ),
+        ),
+        F.struct(
+            F.lit("").alias("acc"),
+            F.element_at("token_starts", 1).alias("pos"),
+        ),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["acc"], F.repeat(F.lit(" "), x["s"] - acc["pos"]), x["tok"]
+            ).alias("acc"),
+            x["e"].alias("pos"),
+        ),
+        lambda acc: acc["acc"],
+    )
+    return token_docs.select(
+        "doc_id",
+        "window_idx",
+        F.element_at("token_starts", 1).alias("char_offset"),
+        piece.alias("text"),
+        "content_sha256",
+    )
+
+
 def tokenize_documents_roundtrip(
     documents: DataFrame,
     annotations: DataFrame,
@@ -103,7 +165,12 @@ def tokenize_documents_roundtrip(
     (doc_id, text, content_sha256), then convert `annotations` (doc_id,
     start, end, ...) into token space per window and round-trip them back
     (see annotations_to_token_space for the output contract)."""
+    from ..plans.skew import ensure_parallelism
     from .mentions import encode_documents
 
-    enc = encode_documents(documents, max_window, window_overlap)
+    # spread the tokenizer UDF across cores when the doc scan planned as a
+    # single task (local small-file trap; no-op on a real cluster)
+    enc = encode_documents(
+        ensure_parallelism(documents), max_window, window_overlap
+    )
     return annotations_to_token_space(enc, annotations)

@@ -144,6 +144,25 @@ def with_discontinuous_frames(
 
     f1s, f1e = frame(a_start, a_end)
     f2s, f2e = frame(b_start, b_end)
+    # Stage 1 NAMES the frame bounds once. Every bound is referenced ~6
+    # times below, and each is itself a deep when-tree over a/b bounds:
+    # inlining them (a single select) duplicates the expression tree
+    # multiplicatively — measured 7s -> 0.8s at sf0.1 for the gather query
+    # when the bounds are materialized as columns instead.
+    stage1 = pairs.select(
+        "*",
+        a_start.alias("_a_start"),
+        a_end.alias("_a_end"),
+        b_start.alias("_b_start"),
+        b_end.alias("_b_end"),
+        f1s.alias("_f1s"),
+        f1e.alias("_f1e"),
+        f2s.alias("_f2s"),
+        f2e.alias("_f2e"),
+        skipped.alias("skipped"),
+    )
+    c = F.col
+    f1s, f1e, f2s, f2e = c("_f1s"), c("_f1e"), c("_f2s"), c("_f2e")
     # Frames are ordered by ARG start, not frame start: a nested narrow
     # second arg can have its frame begin LEFT of the first arg's frame
     # (e.g. a=(2,5), b=(2,3) at mpa=3 -> f1s=2, f2s=1).  The merged test
@@ -165,26 +184,64 @@ def with_discontinuous_frames(
     # glue_len glue tokens
     shift_a = F.when(merged, -u_start).otherwise(-f1s)
     shift_b = F.when(merged, -u_start).otherwise(-f1s - (f2s - f1e) + glue_len)
-    out = pairs.select(
-        "*",
-        skipped.alias("skipped"),
-        F.when(~skipped, seg1_start).alias("f1_start"),
-        F.when(~skipped, seg1_end).alias("f1_end"),
-        F.when(~skipped & ~merged, f2s).alias("f2_start"),
-        F.when(~skipped & ~merged, f2e).alias("f2_end"),
-        F.when(~skipped, gathered_len).alias("gathered_len"),
-        F.when(~skipped, a_start + shift_a).alias("new_a_start"),
-        F.when(~skipped, a_end + shift_a).alias("new_a_end"),
-        F.when(~skipped, b_start + shift_b).alias("new_b_start"),
-        F.when(~skipped, b_end + shift_b).alias("new_b_end"),
+    sk = c("skipped")
+    out = stage1.select(
+        *pairs.columns,
+        sk.alias("skipped"),
+        F.when(~sk, seg1_start).alias("f1_start"),
+        F.when(~sk, seg1_end).alias("f1_end"),
+        F.when(~sk & ~merged, f2s).alias("f2_start"),
+        F.when(~sk & ~merged, f2e).alias("f2_end"),
+        F.when(~sk, gathered_len).alias("gathered_len"),
+        F.when(~sk, c("_a_start") + shift_a).alias("new_a_start"),
+        F.when(~sk, c("_a_end") + shift_a).alias("new_a_end"),
+        F.when(~sk, c("_b_start") + shift_b).alias("new_b_start"),
+        F.when(~sk, c("_b_end") + shift_b).alias("new_b_end"),
     )
     return out
+
+
+def insert_pair_markers_disjoint_col(tokens_col, hs, he, ts, te):
+    """Marker-decorated token array for the common RE case of DISJOINT
+    argument spans in order (he <= ts): five array slices + four marker
+    singletons concatenated — O(n) array copies instead of the per-token
+    transform+flatten of `insert_pair_markers_col`, which costs ~5x more
+    in whole-stage codegen (one nested concat per token). Semantically
+    identical to the general version on disjoint ordered spans (equality
+    property-tested in tests/test_re_encoding.py)."""
+    n = F.size(tokens_col).cast("long")
+
+    def seg(start, length):
+        # F.slice rejects non-positive length under ANSI; empty segments
+        # are real here (e.g. adjacent spans)
+        return F.when(
+            length > 0, F.slice(tokens_col, (start + 1).cast("int"), length.cast("int"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    def mark(m):
+        return F.array(F.lit(m))
+
+    hs, he, ts, te = (c.cast("long") for c in (hs, he, ts, te))
+    return F.concat(
+        seg(F.lit(0).cast("long"), hs),
+        mark("[H]"),
+        seg(hs, he - hs),
+        mark("[/H]"),
+        seg(he, ts - he),
+        mark("[T]"),
+        seg(ts, te - ts),
+        mark("[/T]"),
+        seg(te, n - te),
+    )
 
 
 def insert_pair_markers_col(tokens_col, hs, he, ts, te):
     """Marker-decorated token array for a candidate pair: [H]/[/H] around
     the head span, [T]/[/T] around the tail (ordered insertion — the §2.6
-    'ordered marker insertion' row, as one flatten/transform pass)."""
+    'ordered marker insertion' row, as one flatten/transform pass).
+    Handles interleaved/overlapping spans; for the common disjoint-ordered
+    case prefer insert_pair_markers_disjoint_col (same output, ~5x less
+    expression work)."""
     def seg(i):
         tok = F.element_at(tokens_col, (i + 1).cast("int"))
         pre = F.when(i == hs, F.array(F.lit("[H]"))).otherwise(

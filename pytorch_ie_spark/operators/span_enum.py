@@ -34,12 +34,24 @@ DEFAULT_CLASSES = ("ENGINE", "OP", "ALGO")
 SCORE_SCALE = 10000
 
 
-def mock_span_score(surface: str, label: str) -> float:
-    """Deterministic stand-in logit in [0, 1): md5 of 'surface|label'.
-    Engine-portable: DuckDB computes the identical value via
-    ('0x' || substr(md5(s || '|' || c), 1, 8))::BIGINT % 10000 / 10000.0."""
-    h = hashlib.md5(f"{surface}|{label}".encode()).hexdigest()
-    return (int(h[:8], 16) % SCORE_SCALE) / SCORE_SCALE
+def mock_span_scores(surface: str, n_classes: int) -> list[float]:
+    """Deterministic stand-in logits in [0, 1): ONE md5 per surface, class
+    i reads hex slice [8i, 8i+8) — a third of the hash work of hashing
+    (surface, class) pairs, the dominant cost of the mock at corpus scale.
+    Supports up to 4 classes (32 hex chars). Engine-portable: DuckDB
+    computes the identical value via
+    ('0x' || substr(md5(s), 1 + 8*i, 8))::BIGINT % 10000 / 10000.0."""
+    h = hashlib.md5(surface.encode()).hexdigest()
+    return [
+        (int(h[8 * i : 8 * i + 8], 16) % SCORE_SCALE) / SCORE_SCALE
+        for i in range(n_classes)
+    ]
+
+
+def mock_span_score(surface: str, label_index: int) -> float:
+    """Single-class view of mock_span_scores (label identified by INDEX in
+    the classes tuple)."""
+    return mock_span_scores(surface, label_index + 1)[label_index]
 
 
 def enumerate_and_classify_spans(
@@ -54,10 +66,13 @@ def enumerate_and_classify_spans(
     clearing it for several classes yields several rows (multilabel,
     operators/nary.py MultiLabeledSpan shape)."""
     cls = list(classes)
+    if len(cls) > 4:
+        raise ValueError("mock head supports at most 4 classes (md5 width)")
 
     def enumerate_spans(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        n_cls = len(cls)
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -67,8 +82,9 @@ def enumerate_and_classify_spans(
                 for length in range(1, max_span_length + 1):
                     for start in range(0, n - length + 1):
                         surface = " ".join(tokens[start : start + length])
-                        for c in cls:
-                            score = mock_span_score(surface, c)
+                        for ci, score in enumerate(
+                            mock_span_scores(surface, n_cls)
+                        ):
                             if score >= threshold:
                                 rows.append(
                                     (
@@ -76,7 +92,7 @@ def enumerate_and_classify_spans(
                                         start,
                                         start + length,
                                         surface,
-                                        c,
+                                        cls[ci],
                                         round(score, 6),
                                     )
                                 )
@@ -92,6 +108,12 @@ def enumerate_and_classify_spans(
                 ],
             )
 
-    return documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    from ..plans.skew import ensure_parallelism
+
+    # local single-row-group parquet scans plan as ONE task; the O(n*L*C)
+    # enumeration must spread across cores (no-op on a real cluster scan)
+    return ensure_parallelism(
+        documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
     ).mapInPandas(enumerate_spans, schema=SPAN_ENUM_SCHEMA)

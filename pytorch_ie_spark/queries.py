@@ -2900,7 +2900,7 @@ def q_kg_re_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     re_text_classification_with_indices.py marker construction): the
     actual insert_pair_markers_col flatten/transform expression over the
     document token array, joined to a string for comparison."""
-    from .operators.re_encoding import insert_pair_markers_col
+    from .operators.re_encoding import insert_pair_markers_disjoint_col
 
     docs = read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -2909,7 +2909,7 @@ def q_kg_re_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _token_pairs_df(spark, sf_dir).where(
         F.col("tok_distance") <= MARKERS_MAX_DIST
     )
-    marked = insert_pair_markers_col(
+    marked = insert_pair_markers_disjoint_col(
         F.col("tokens"),
         F.col("head_tok_start"),
         F.col("head_tok_end"),
@@ -3014,8 +3014,12 @@ def q_kg_special_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    from .plans.skew import ensure_parallelism
+
+    docs = ensure_parallelism(
+        read_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
     )
     return docs.mapInPandas(
         assemble,
@@ -3229,10 +3233,13 @@ WITH docs AS (
          array_to_string(toks[s+1:s+l], ' ') AS surface
   FROM starts
 ), scored AS (
+  -- one md5 per surface; class i reads hex slice [8i, 8i+8)
   SELECT doc_id, tok_start, tok_end, surface, c.label,
-    (('0x' || substr(md5(surface || '|' || c.label), 1, 8))::BIGINT % 10000)
+    (('0x' || substr(md5(surface), 1 + 8 * c.ci, 8))::BIGINT % 10000)
       / 10000.0 AS score
-  FROM surf CROSS JOIN (VALUES ('ENGINE'), ('OP'), ('ALGO')) c(label)
+  FROM surf CROSS JOIN (
+    VALUES ('ENGINE', 0), ('OP', 1), ('ALGO', 2)
+  ) c(label, ci)
 )
 SELECT doc_id, tok_start, tok_end, surface, label, round(score, 6) AS score
 FROM scored WHERE score >= {SPAN_ENUM_THRESHOLD}

@@ -109,3 +109,32 @@ def test_missed_and_exact_flags(spark):
     r = out[(1, 5)]
     assert not r["exact"] and (r["rt_start"], r["rt_end"]) == (0, 5)
     assert out[(5, 6)]["missed"] and out[(5, 6)]["tok_start"] is None
+
+
+def test_text_token_text_conversion_roundtrip(spark):
+    """as_type-style document conversion: text -> token docs -> text
+    reconstructs each window's exact text slice (reference
+    text_based_document_to_token_based / token_based_document_to_text_based,
+    utils/document.py:150-363)."""
+    from pytorch_ie_spark.operators.doc_tokenize import (
+        text_documents_to_token_documents,
+        token_documents_to_text_documents,
+    )
+
+    texts = {
+        "d1": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "d2": "one two three",
+    }
+    docs = spark.createDataFrame(
+        [(k, v, "s") for k, v in texts.items()],
+        "doc_id string, text string, content_sha256 string",
+    )
+    # max_window 4 forces multi-window docs (char_offset > 0 windows)
+    td = text_documents_to_token_documents(docs, max_window=4, window_overlap=1)
+    back = token_documents_to_text_documents(td).collect()
+    assert any(r["char_offset"] > 0 for r in back)
+    for r in back:
+        original = texts[r["doc_id"]]
+        assert r["text"] == original[r["char_offset"] : r["char_offset"] + len(r["text"])]
+        # window text starts and ends on token boundaries (no stray spaces)
+        assert not r["text"].startswith(" ") and not r["text"].endswith(" ")

@@ -128,6 +128,39 @@ def test_marker_insertion_ordered(spark):
     assert list(out) == ["a", "[H]", "b", "[/H]", "c", "[T]", "d", "[/T]", "e"]
 
 
+def test_disjoint_marker_fast_path_equals_general(spark):
+    """insert_pair_markers_disjoint_col (slice-based) must produce exactly
+    the general transform version's output on every disjoint ordered span
+    layout, including adjacency and sequence edges."""
+    from pytorch_ie_spark.operators.re_encoding import (
+        insert_pair_markers_disjoint_col,
+    )
+
+    toks = "a b c d e f g h".split(" ")
+    cases = []
+    n = len(toks)
+    for hs in range(0, n - 1):
+        for he in range(hs + 1, n):
+            for ts in range(he, n):
+                for te in range(ts + 1, n + 1):
+                    cases.append((hs, he, ts, te))
+    df = spark.createDataFrame(
+        [(i, *c) for i, c in enumerate(cases)],
+        "i long, hs long, he long, ts long, te long",
+    ).withColumn("toks", F.split(F.lit(" ".join(toks)), " "))
+    both = df.select(
+        "i",
+        insert_pair_markers_col(
+            F.col("toks"), F.col("hs"), F.col("he"), F.col("ts"), F.col("te")
+        ).alias("general"),
+        insert_pair_markers_disjoint_col(
+            F.col("toks"), F.col("hs"), F.col("he"), F.col("ts"), F.col("te")
+        ).alias("fast"),
+    ).collect()
+    for r in both:
+        assert list(r["general"]) == list(r["fast"]), (r["i"], cases[r["i"]])
+
+
 def test_gather_nested_arguments(spark):
     """A narrow second arg nested inside the first can have its frame begin
     LEFT of the first arg's frame (frame order != arg order).  The merged

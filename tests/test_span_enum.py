@@ -4,7 +4,7 @@ threshold filtering, and multilabel emission."""
 
 from pytorch_ie_spark.operators.span_enum import (
     enumerate_and_classify_spans,
-    mock_span_score,
+    mock_span_scores,
 )
 
 
@@ -27,7 +27,7 @@ def test_enumeration_grid_and_threshold(spark):
         toks = text.split(" ")
         surface = " ".join(toks[r["tok_start"] : r["tok_end"]])
         assert r["surface"] == surface
-        assert abs(r["score"] - round(mock_span_score(surface, "X"), 6)) < 1e-9
+        assert abs(r["score"] - round(mock_span_scores(surface, 1)[0], 6)) < 1e-9
 
 
 def test_multilabel_rows_and_filtering(spark):
@@ -43,7 +43,8 @@ def test_multilabel_rows_and_filtering(spark):
     assert all(r["score"] >= thr for r in out)
     # a span can carry several labels (multilabel); verify against the mock
     for r in out:
-        assert mock_span_score(r["surface"], r["label"]) >= thr
+        ci = classes.index(r["label"])
+        assert mock_span_scores(r["surface"], len(classes))[ci] >= thr
     by_span = {}
     for r in out:
         by_span.setdefault((r["tok_start"], r["tok_end"]), []).append(r["label"])
