@@ -237,6 +237,23 @@ class HFTokenClassificationModel:
         return out
 
 
+@register_model("crf_ner")
+class CrfNerModel:
+    """Linear-chain CRF tagger: real max-sum Viterbi decode with
+    backtracking over deterministic mock potentials (functions/crf.py) —
+    the decoder of the reference's CRF head
+    (models/token_classification_with_seq2seq_encoder_and_crf.py) with
+    md5-derived emissions standing in for the encoder logits. Plugs into
+    the same mention stage as every other tagger; the forward-pass score
+    has a JVM twin (viterbi_score_col) and a DuckDB oracle
+    (q:crf_viterbi)."""
+
+    def predict_tags(self, batch_tokens: list[list[str]]) -> list[list[str]]:
+        from ..functions.crf import viterbi_decode
+
+        return [viterbi_decode(list(toks))[0] for toks in batch_tokens]
+
+
 def relation_rules_for_doc(
     text: str, mentions: list[tuple[int, int, str]]
 ) -> set[tuple[tuple[int, int], tuple[int, int], str]]:

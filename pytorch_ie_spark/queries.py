@@ -2889,9 +2889,216 @@ WHERE {_rule_case_sql()} IS NOT NULL
 """
 
 
-# ------------------------------------------- marker insertion (RE encode)
+# ----------------------------------------------------- argument poolers
 
 MARKERS_MAX_DIST = 4
+
+
+def q_kg_pooler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument poolers over per-token hidden states (reference
+    models/components/pooler.py: pool_cls :16, AtIndexPooler/START_TOKENS
+    :20-73, SpanMaxPooler/MENTION_POOLING :100-171, SpanMeanPooler
+    :175-248): per RE candidate pair, the cls state, the concat of the
+    argument-start states, and max/mean pooling over a 2-token head span —
+    all JVM array folds over md5-mock states, vectors serialized to
+    '|'-joined strings for engine-exact comparison."""
+    from .functions.pooler import (
+        pool_at_index_col,
+        pool_cls_col,
+        pool_span_max_col,
+        pool_span_mean_col,
+        token_state_vecs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_state_vecs(F.split("text", " ")).alias("vecs"),
+    )
+    pairs = _token_pairs_df(spark, sf_dir).where(
+        F.col("tok_distance") <= MARKERS_MAX_DIST
+    )
+    j = pairs.join(docs, "doc_id")
+    hs = F.col("head_tok_start")
+    ts = F.col("tail_tok_start")
+    head_len = F.least(F.lit(2).cast("long"), F.col("seq_len") - hs)
+    v = F.col("vecs")
+    return j.select(
+        "doc_id",
+        hs.alias("head_tok_start"),
+        ts.alias("tail_tok_start"),
+        pool_cls_col(v).alias("cls_state"),
+        pool_at_index_col(v, hs, ts).alias("start_concat"),
+        pool_span_max_col(v, hs, head_len).alias("head_max"),
+        pool_span_mean_col(v, hs, head_len).alias("head_mean"),
+    )
+
+
+POOLER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(text,' ')) AS surface,
+         (generate_subscripts(string_split(text,' '), 1) - 1)::BIGINT AS tok_idx
+  FROM documents
+), docs AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    len(string_split(text,' '))::BIGINT AS n,
+    list_transform(string_split(text,' '), t -> [
+      ('0x' || substr(md5(t), 1, 8))::BIGINT % 1000,
+      ('0x' || substr(md5(t), 9, 8))::BIGINT % 1000,
+      ('0x' || substr(md5(t), 17, 8))::BIGINT % 1000,
+      ('0x' || substr(md5(t), 25, 8))::BIGINT % 1000
+    ]) AS vs
+  FROM documents
+), ments AS (
+  SELECT doc_id, tok_idx FROM toks
+  WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), pairs AS (
+  SELECT h.doc_id, h.tok_idx AS h_idx, t.tok_idx AS t_idx
+  FROM ments h JOIN ments t
+    ON h.doc_id = t.doc_id AND h.tok_idx < t.tok_idx
+  WHERE greatest(0, t.tok_idx - (h.tok_idx + 1)) <= {MARKERS_MAX_DIST}
+), joined AS (
+  SELECT p.doc_id, p.h_idx, p.t_idx, d.vs,
+         d.vs[p.h_idx + 1] AS hv1,
+         CASE WHEN p.h_idx + 2 <= d.n THEN d.vs[p.h_idx + 2] END AS hv2
+  FROM pairs p JOIN docs d USING (doc_id)
+)
+SELECT doc_id, h_idx AS head_tok_start, t_idx AS tail_tok_start,
+  array_to_string(list_transform(vs[1], x -> x::VARCHAR), '|') AS cls_state,
+  array_to_string(list_transform(vs[h_idx + 1], x -> x::VARCHAR), '|')
+    || '|' ||
+  array_to_string(list_transform(vs[t_idx + 1], x -> x::VARCHAR), '|')
+    AS start_concat,
+  array_to_string(list_transform([1,2,3,4], d ->
+    (CASE WHEN hv2 IS NULL THEN hv1[d]
+          ELSE greatest(hv1[d], hv2[d]) END)::VARCHAR), '|') AS head_max,
+  array_to_string(list_transform([1,2,3,4], d ->
+    (CASE WHEN hv2 IS NULL THEN round(hv1[d] / 1.0, 6)
+          ELSE round((hv1[d] + hv2[d]) / 2.0, 6) END)::VARCHAR), '|')
+    AS head_mean
+FROM joined
+"""
+
+
+# --------------------------------------------------- CRF Viterbi decode
+
+
+def q_crf_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRF forward pass (reference
+    models/token_classification_with_seq2seq_encoder_and_crf.py): max-sum
+    Viterbi over md5-mock emissions + BIO-constrained transitions, as a
+    pure JVM array fold (functions/crf.viterbi_score_col) — per-document
+    best-path score and argmax last tag. The full path decode (same DP +
+    backtracking) runs inside the crf_ner model and is equality-tested
+    against brute-force enumeration in tests/test_crf.py."""
+    from .functions.crf import viterbi_score_col
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    v = viterbi_score_col(toks)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        v["viterbi_score"].alias("viterbi_score"),
+        v["best_last_tag"].alias("best_last_tag"),
+    )
+
+
+CRF_VITERBI_ORACLE = """
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(text, ' ') AS toks
+  FROM documents
+), vecs AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+    list_transform(toks, t -> [
+      ('0x' || substr(md5(t), 1, 8))::BIGINT % 1000,
+      ('0x' || substr(md5(t), 9, 8))::BIGINT % 1000,
+      ('0x' || substr(md5(t), 17, 8))::BIGINT % 1000
+    ]) AS vs
+  FROM base
+), prepared AS (
+  -- START = [0, 0, -1000000]: a sequence cannot open with I-ENT
+  SELECT doc_id, n_tokens,
+    [vs[1][1], vs[1][2], vs[1][3] - 1000000] AS v0,
+    vs[2:len(vs)] AS rest
+  FROM vecs
+), fold AS (
+  -- new[s] = max over s' of acc[s'] + TRANS[s'][s], then + emission[s]
+  -- TRANS rows (from O, B-ENT, I-ENT): O->[10,5,-1e6], B->[5,3,8], I->[5,3,8]
+  SELECT doc_id, n_tokens,
+    CASE WHEN len(rest) = 0 THEN v0
+    ELSE list_reduce(list_prepend(v0, rest), (acc, v) -> [
+      greatest(acc[1] + 10, acc[2] + 5, acc[3] + 5) + v[1],
+      greatest(acc[1] + 5,  acc[2] + 3, acc[3] + 3) + v[2],
+      greatest(acc[1] - 1000000, acc[2] + 8, acc[3] + 8) + v[3]
+    ]) END AS fin
+  FROM prepared
+)
+SELECT doc_id, n_tokens,
+  list_aggregate(fin, 'max')::BIGINT AS viterbi_score,
+  list_position(fin, list_aggregate(fin, 'max'))::BIGINT AS best_last_tag
+FROM fold
+"""
+
+
+# ----------------------------------------------- text-to-text taskmodule
+
+T2T_LEAD_K = 8
+
+
+def q_text2text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-to-text taskmodule analog (reference taskmodules/text_to_text.py:
+    encode_input tokenizes the source, encode_target the summary target
+    :311-376, unbatch_and_untokenize decodes generated text :50-59, metric
+    hookup is ROUGE :96): target = deterministic lead-K extractive mock
+    standing in for the generator, plus a ROUGE-1-style distinct-unigram
+    recall of the target against the document remainder — all JVM array
+    ops, no UDF."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    target = F.slice(toks, 1, T2T_LEAD_K)
+    rest = F.when(
+        n > T2T_LEAD_K, F.slice(toks, T2T_LEAD_K + 1, n - T2T_LEAD_K)
+    ).otherwise(F.array().cast("array<string>"))
+    tgt_d = F.array_distinct(target)
+    overlap = F.size(F.array_intersect(tgt_d, F.array_distinct(rest)))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_src_tokens"),
+        F.concat_ws(" ", target).alias("target_text"),
+        F.least(n, F.lit(T2T_LEAD_K)).cast("long").alias("n_tgt_tokens"),
+        F.size(tgt_d).cast("long").alias("n_tgt_distinct"),
+        overlap.cast("long").alias("overlap"),
+        F.round(overlap / F.size(tgt_d), 6).alias("rouge1_recallish"),
+    )
+
+
+TEXT2TEXT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(text, ' ') AS toks
+  FROM documents
+), parts AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_src_tokens,
+    toks[1:{T2T_LEAD_K}] AS target,
+    CASE WHEN len(toks) > {T2T_LEAD_K}
+         THEN toks[{T2T_LEAD_K + 1}:len(toks)]
+         ELSE [] END AS rest
+  FROM base
+)
+SELECT doc_id, n_src_tokens,
+  array_to_string(target, ' ') AS target_text,
+  least(n_src_tokens, {T2T_LEAD_K})::BIGINT AS n_tgt_tokens,
+  len(list_distinct(target))::BIGINT AS n_tgt_distinct,
+  len(list_intersect(list_distinct(target), list_distinct(rest)))::BIGINT
+    AS overlap,
+  round(len(list_intersect(list_distinct(target), list_distinct(rest)))
+        / len(list_distinct(target))::DOUBLE, 6) AS rouge1_recallish
+FROM parts
+"""
+
+
+# ------------------------------------------- marker insertion (RE encode)
 
 
 def q_kg_re_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3413,6 +3620,9 @@ QUERIES: dict[str, tuple] = {
     "kg_span_enum": (q_kg_span_enum, SPAN_ENUM_ORACLE),
     "corpus_json": (q_corpus_json, CORPUS_JSON_ORACLE),
     "kg_re_markers": (q_kg_re_markers, RE_MARKERS_ORACLE),
+    "text2text": (q_text2text, TEXT2TEXT_ORACLE),
+    "crf_viterbi": (q_crf_viterbi, CRF_VITERBI_ORACLE),
+    "kg_pooler": (q_kg_pooler, POOLER_ORACLE),
     "kg_special_tokens": (q_kg_special_tokens, SPECIAL_TOKENS_ORACLE),
     "kg_candidate_pairs": (q_kg_candidate_pairs, CANDIDATE_PAIRS_ORACLE),
     "kg_relations": (q_kg_relations, _relations_oracle(MAX_REL_DISTANCE)),
