@@ -2910,7 +2910,9 @@ def q_kg_pooler(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_state_vecs,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select(
+    from .plans.skew import ensure_parallelism
+
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         token_state_vecs(F.split("text", " ")).alias("vecs"),
     )
@@ -2992,8 +2994,11 @@ def q_crf_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     backtracking) runs inside the crf_ner model and is equality-tested
     against brute-force enumeration in tests/test_crf.py."""
     from .functions.crf import viterbi_score_col
+    from .plans.skew import ensure_parallelism
 
-    docs = read_table(spark, sf_dir, "documents")
+    # md5-per-token DP fold is compute-heavy: spread the single-row-group
+    # local scan across cores (no-op on a real cluster)
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     v = viterbi_score_col(toks)
     return docs.select(
