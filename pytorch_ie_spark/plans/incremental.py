@@ -185,6 +185,50 @@ def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     return t.join(F.broadcast(committed), "run_id", "left_semi").drop("run_id")
 
 
+def compact_triples(
+    spark: SparkSession,
+    out_dir: str,
+    dest_dir: str,
+    files_per_partition: int = 1,
+) -> dict:
+    """Iceberg-style rewrite_data_files for the triple table: every
+    incremental run appends its own small files under a fresh run_id
+    partition, so after many increments the committed view reads hundreds
+    of tiny files — the classic small-file problem. This rewrites the
+    COMMITTED triples (orphans excluded, run_id dropped) into a plain
+    pred-partitioned snapshot at `dest_dir`, `files_per_partition` files
+    per pred value (bounded deterministic salt; raise it for partitions
+    larger than one task should hold). The ingest dir is left untouched —
+    the snapshot is a read-optimized copy, exactly like an Iceberg rewrite
+    producing a new snapshot without disturbing writers.
+
+    Returns {'files_before': n, 'files_after': n, 'rows': n} for lineage.
+    """
+    t = read_triples(spark, out_dir)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in t.columns]),
+        F.lit(max(1, files_per_partition)),
+    )
+    (
+        t.repartition(F.col("pred"), salt)
+        .write.mode("overwrite")
+        .partitionBy("pred")
+        .parquet(dest_dir)
+    )
+
+    def _parquet_files(root: str) -> int:
+        n = 0
+        for _d, _s, files in os.walk(root):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    return {
+        "files_before": _parquet_files(_triples_path(out_dir)),
+        "files_after": _parquet_files(dest_dir),
+        "rows": spark.read.parquet(dest_dir).count(),
+    }
+
+
 def orphan_run_ids(spark: SparkSession, out_dir: str) -> list[str]:
     """run_ids with data on disk but no commit markers (crashed runs) —
     their directories can be deleted at leisure; readers never see them."""

@@ -138,3 +138,33 @@ def test_text_token_text_conversion_roundtrip(spark):
         assert r["text"] == original[r["char_offset"] : r["char_offset"] + len(r["text"])]
         # window text starts and ends on token boundaries (no stray spaces)
         assert not r["text"].startswith(" ") and not r["text"].endswith(" ")
+
+
+def test_unicode_offsets_roundtrip(spark):
+    """Char offsets are codepoint-based on both sides of the conversion:
+    multi-byte text must round-trip exactly (the reference operates on
+    Python str indices; so do we)."""
+    from pytorch_ie_spark.operators.doc_tokenize import (
+        text_documents_to_token_documents,
+        token_documents_to_text_documents,
+    )
+
+    text = "café naïve 日本語 tokens über"
+    docs = spark.createDataFrame(
+        [("u1", text, "s")], "doc_id string, text string, content_sha256 string"
+    )
+    td = text_documents_to_token_documents(docs, 128, 16)
+    back = token_documents_to_text_documents(td).collect()
+    assert len(back) == 1 and back[0]["text"] == text
+
+    anns = spark.createDataFrame(
+        [("u1", 0, 4), ("u1", 5, 10), ("u1", 11, 14)],
+        "doc_id string, start long, end long",
+    )
+    out = {
+        (r["start"], r["end"]): r
+        for r in tokenize_documents_roundtrip(docs, anns, 128, 16).collect()
+    }
+    assert out[(0, 4)]["exact"]      # café
+    assert out[(5, 10)]["exact"]     # naïve
+    assert out[(11, 14)]["exact"]    # 日本語

@@ -129,3 +129,32 @@ def test_legacy_layout_coexists_with_run_id_layout(spark, sf_dir, tmp_path):
         "processed_units": 0,
         "new_triples": 0,
     }
+
+
+def test_compact_triples_rewrites_small_files(spark, sf_dir, tmp_path):
+    """After several increments the committed view reads many small files;
+    the compacted snapshot must hold the identical rows in far fewer files
+    and leave the ingest dir untouched."""
+    from pytorch_ie_spark.plans.incremental import compact_triples
+
+    out = str(tmp_path / "kg")
+    dest = str(tmp_path / "kg_compacted")
+    src = source_files_from_documents(spark, sf_dir)
+    # three increments -> three run_id partitions of small files
+    for k in (0, 1, 2):
+        ingest_increment(spark, src.where(F.crc32("path") % 3 == k), out)
+
+    before = read_triples(spark, out)
+    rows_before = sorted(map(tuple, before.collect()))
+    audit = compact_triples(spark, out, dest, files_per_partition=1)
+    after = spark.read.parquet(dest)
+    assert sorted(map(tuple, after.select(*before.columns).collect())) == rows_before
+    assert audit["rows"] == len(rows_before)
+    assert audit["files_after"] < audit["files_before"]
+    # one file per pred partition
+    import glob as _glob
+    for pred_dir in _glob.glob(f"{dest}/pred=*"):
+        files = [f for f in _glob.glob(f"{pred_dir}/*.parquet")]
+        assert len(files) == 1, pred_dir
+    # ingest dir untouched: replay still a no-op
+    assert ingest_increment(spark, src, out)["processed_units"] == 0
