@@ -328,3 +328,70 @@ def merge_relation_layers(*layers: DataFrame) -> DataFrame:
             F.first("content_sha256", ignorenulls=True).alias("content_sha256"),
         )
     )
+
+
+def add_reversed_relations(
+    relations: DataFrame,
+    arg_cols: tuple[str, str, str, str] = (
+        "head_start",
+        "head_end",
+        "tail_start",
+        "tail_end",
+    ),
+    label_col: str = "label",
+    suffix: str = "_reversed",
+    symmetric_relations: list[str] | None = None,
+    reverse_symmetric_relations: bool = True,
+) -> DataFrame:
+    """Reversed-relation augmentation (reference
+    re_text_classification_with_indices.py:544-620 _add_reversed_relations):
+
+      - every binary relation additionally yields (tail, head) with
+        `label + suffix`; SYMMETRIC labels keep their label unchanged
+        (and are skipped entirely when reverse_symmetric_relations=False),
+      - a label already carrying the suffix is an error (double reversal),
+      - a reversed candidate whose ARGUMENT pair already exists in the
+        input (any label — the reference keys arguments2relation by the
+        argument tuple alone) is NOT added: implemented as one left-anti
+        join on (doc_id, swapped args), never a driver loop.
+
+    Returns input ∪ added reversed rows, same schema.
+    """
+    hs, he, ts, te = arg_cols
+    sym = list(symmetric_relations or [])
+    base = relations
+    if not reverse_symmetric_relations and sym:
+        base = base.where(~F.col(label_col).isin(sym))
+    # double-reversal guard rides the same job (in-plan raise_error), no
+    # separate validation action over the input
+    already = F.col(label_col).endswith(suffix)
+    guard = F.when(
+        already,
+        F.raise_error(
+            F.concat(
+                F.lit("label already ends with reversal suffix: "),
+                F.col(label_col),
+            )
+        ),
+    )
+    keep_or_suffix = (
+        F.when(F.col(label_col).isin(sym), F.col(label_col))
+        if sym
+        else F.when(F.lit(False), F.col(label_col))
+    ).otherwise(F.concat(F.col(label_col), F.lit(suffix)))
+    # the guard fires before the symmetric branch, like the reference
+    rev_label = F.coalesce(guard, keep_or_suffix)
+    passthrough = [
+        c for c in relations.columns if c not in (hs, he, ts, te, label_col)
+    ]
+    rev = base.select(
+        *passthrough,
+        F.col(ts).alias(hs),
+        F.col(te).alias(he),
+        F.col(hs).alias(ts),
+        F.col(he).alias(te),
+        rev_label.alias(label_col),
+    )
+    existing_args = relations.select("doc_id", hs, he, ts, te).dropDuplicates()
+    rev = rev.join(existing_args, ["doc_id", hs, he, ts, te], "left_anti")
+    return relations.unionByName(rev.select(*relations.columns))

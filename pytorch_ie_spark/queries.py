@@ -2889,6 +2889,82 @@ WHERE {_rule_case_sql()} IS NOT NULL
 """
 
 
+# --------------------------------------------- reversed-relation augment
+
+
+def q_kg_reversed_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reversed-relation augmentation (reference
+    re_text_classification_with_indices.py:544-620): every relation also
+    yields (tail, head) with label+'_reversed'; symmetric labels keep the
+    label; reversed candidates whose ARGUMENT pair already exists are
+    skipped (left-anti join, argument-keyed like arguments2relation). The
+    input pre-seeds reversed duplicates of 'op:uses_algo' pairs so the
+    skip branch is exercised on real rows."""
+    from .operators.relations import add_reversed_relations
+
+    rels = (
+        _relations_df(spark, sf_dir, MAX_REL_DISTANCE)
+        .select(
+            "doc_id",
+            "head_start",
+            (F.col("head_start") + F.length("head_surface")).alias("head_end"),
+            "tail_start",
+            (F.col("tail_start") + F.length("tail_surface")).alias("tail_end"),
+            "label",
+        )
+        # referenced by the pre-seed, the reversal, AND the anti-join side:
+        # pin the mention->pair lineage once instead of recomputing it 3x
+        .localCheckpoint(eager=False)
+    )
+    pre_reversed = rels.where(F.col("label") == "op:uses_algo").select(
+        "doc_id",
+        F.col("tail_start").alias("head_start"),
+        F.col("tail_end").alias("head_end"),
+        F.col("head_start").alias("tail_start"),
+        F.col("head_end").alias("tail_end"),
+        "label",
+    )
+    inp = rels.unionByName(pre_reversed)
+    return add_reversed_relations(
+        inp, symmetric_relations=["actor:uses_engine"]
+    )
+
+
+REVERSED_RELATIONS_ORACLE = f"""
+WITH rels AS (
+  SELECT doc_id, head_start,
+         head_start + length(head_surface) AS head_end,
+         tail_start,
+         tail_start + length(tail_surface) AS tail_end,
+         label
+  FROM ({_relations_oracle(MAX_REL_DISTANCE)})
+), input AS (
+  SELECT * FROM rels
+  UNION ALL
+  SELECT doc_id, tail_start, tail_end, head_start, head_end, label
+  FROM rels WHERE label = 'op:uses_algo'
+), rev AS (
+  SELECT doc_id,
+    tail_start AS head_start, tail_end AS head_end,
+    head_start AS tail_start, head_end AS tail_end,
+    CASE WHEN label = 'actor:uses_engine' THEN label
+         ELSE label || '_reversed' END AS label
+  FROM input
+), existing AS (
+  SELECT DISTINCT doc_id, head_start, head_end, tail_start, tail_end
+  FROM input
+)
+SELECT doc_id, head_start, head_end, tail_start, tail_end, label FROM input
+UNION ALL
+SELECT r.doc_id, r.head_start, r.head_end, r.tail_start, r.tail_end, r.label
+FROM rev r LEFT JOIN existing e
+  ON e.doc_id = r.doc_id AND e.head_start = r.head_start
+ AND e.head_end = r.head_end AND e.tail_start = r.tail_start
+ AND e.tail_end = r.tail_end
+WHERE e.doc_id IS NULL
+"""
+
+
 # ----------------------------------------------------- argument poolers
 
 MARKERS_MAX_DIST = 4
@@ -3628,6 +3704,10 @@ QUERIES: dict[str, tuple] = {
     "text2text": (q_text2text, TEXT2TEXT_ORACLE),
     "crf_viterbi": (q_crf_viterbi, CRF_VITERBI_ORACLE),
     "kg_pooler": (q_kg_pooler, POOLER_ORACLE),
+    "kg_reversed_relations": (
+        q_kg_reversed_relations,
+        REVERSED_RELATIONS_ORACLE,
+    ),
     "kg_special_tokens": (q_kg_special_tokens, SPECIAL_TOKENS_ORACLE),
     "kg_candidate_pairs": (q_kg_candidate_pairs, CANDIDATE_PAIRS_ORACLE),
     "kg_relations": (q_kg_relations, _relations_oracle(MAX_REL_DISTANCE)),
