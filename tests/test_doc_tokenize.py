@@ -168,3 +168,53 @@ def test_unicode_offsets_roundtrip(spark):
     assert out[(0, 4)]["exact"]      # café
     assert out[(5, 10)]["exact"]     # naïve
     assert out[(11, 14)]["exact"]    # 日本語
+
+
+def test_alignment_fuzz_hypothesis(spark):
+    """Randomized spans/window shapes vs the Python reference functions —
+    complements the systematic grid with adversarial shapes."""
+    import random
+
+    from pytorch_ie_spark.operators.doc_tokenize import (
+        tokenize_documents_roundtrip as rt,
+    )
+
+    rng = random.Random(20260816)
+    words = ["alpha", "b", "gamma", "dd", "epsilon", "zz", "eta", "x"]
+    docs_rows = []
+    anns_rows = []
+    expected = []
+    max_window, overlap = 5, 2
+    for d in range(12):
+        n_words = rng.randint(1, 14)
+        text = " ".join(rng.choice(words) for _ in range(n_words))
+        doc_id = f"f{d}"
+        docs_rows.append((doc_id, text, "s"))
+        for _ in range(8):
+            start = rng.randint(0, max(0, len(text) - 1))
+            end = rng.randint(start + 1, min(len(text) + 1, start + 12))
+            anns_rows.append((doc_id, start, end))
+            expected.extend(
+                _expected(doc_id, text, start, end, max_window, overlap)
+            )
+    docs = spark.createDataFrame(
+        docs_rows, "doc_id string, text string, content_sha256 string"
+    )
+    anns = spark.createDataFrame(anns_rows, "doc_id string, start long, end long")
+    out = rt(docs, anns, max_window, overlap)
+
+    def key(x):
+        return tuple((v is None, v) for v in x)
+
+    got = sorted(
+        (
+            (
+                r["doc_id"], r["start"], r["end"], r["window_idx"],
+                r["tok_start"], r["tok_end"], r["rt_start"], r["rt_end"],
+                r["exact"], r["missed"],
+            )
+            for r in out.collect()
+        ),
+        key=key,
+    )
+    assert got == sorted(expected, key=key)
