@@ -88,22 +88,26 @@ def label_gold_pairs(
 ) -> DataFrame:
     """Attach gold labels to candidates; unmatched pairs get the none label
     (training-target construction, re_text_classification_with_indices.py:662-700)."""
+    # Rename EVERY gold key (doc_id included). When gold_relations is derived
+    # from `pairs` itself, `pairs.doc_id == gold.doc_id` resolves both sides to
+    # the same attribute and Catalyst folds the predicate to `true` (the join
+    # then silently keys on mention ids alone) — renamed columns cannot alias.
     gold = gold_relations.select(
-        "doc_id",
+        F.col("doc_id").alias("g_doc_id"),
         F.col("head_mention_id").alias("g_head"),
         F.col("tail_mention_id").alias("g_tail"),
         F.col("label").alias("gold_label"),
     )
     joined = pairs.join(
         gold,
-        (pairs.doc_id == gold.doc_id)
-        & (pairs.head_mention_id == gold.g_head)
-        & (pairs.tail_mention_id == gold.g_tail),
+        (F.col("doc_id") == F.col("g_doc_id"))
+        & (F.col("head_mention_id") == F.col("g_head"))
+        & (F.col("tail_mention_id") == F.col("g_tail")),
         "left",
-    ).drop(gold.doc_id)
+    )
     return joined.withColumn(
         "gold_label", F.coalesce(F.col("gold_label"), F.lit(none_label))
-    ).drop("g_head", "g_tail")
+    ).drop("g_doc_id", "g_head", "g_tail")
 
 
 def resolve_duplicate_candidates(

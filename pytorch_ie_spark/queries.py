@@ -107,7 +107,13 @@ def mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — token offsets computed with array HOFs (no shuffle, no UDF;
     the 100 TB pipeline path does the same inside mapInPandas, see
     operators/mentions.py)."""
-    docs = read_table(spark, sf_dir, "documents")
+    from .plans.skew import ensure_parallelism
+
+    # the sf0.1 documents parquet is a single row group -> ONE scan task;
+    # every mention-derived lineage (candidate pairs, reversed relations,
+    # pointer/seq2seq round-trips, coref) would otherwise materialize the
+    # aggregate-HOF scan + self-join on one core. No-op on a real cluster.
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     # single-pass accumulator, linear in document length: the position
     # counter advances per token, but the collected array only grows for
