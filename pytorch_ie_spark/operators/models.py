@@ -254,6 +254,41 @@ class CrfNerModel:
         return [viterbi_decode(list(toks))[0] for toks in batch_tokens]
 
 
+@register_model("doc_mock_classifier")
+class DocMockClassifierModel:
+    """Document-level text-classification head analog (reference
+    models/transformer_text_classification.py: encoder -> pooled logits;
+    the taskmodule softmaxes + argmaxes in unbatch_output,
+    simple_transformer_text_classification.py:177-205).
+
+    No torch in the container, so the encoder is a deterministic md5 mock:
+    logit(label) = int(md5(enc_text + '|' + label)[:8], 16) % 1000 / 100.0
+    — engine-portable (identical hex-slice arithmetic in Spark and DuckDB),
+    which is what gives the stage a value-level oracle. The model returns
+    LOGITS only; softmax/argmax belong to the taskmodule (same split as the
+    reference)."""
+
+    def __init__(self, labels: list[str] | None = None):
+        from ..operators.doc_classify import DOC_LABELS
+
+        self.labels = list(labels) if labels else list(DOC_LABELS)
+
+    def predict_logits(self, batch_texts: list[str]) -> list[list[float]]:
+        import hashlib
+
+        return [
+            [
+                int(
+                    hashlib.md5(f"{text}|{lab}".encode()).hexdigest()[:8], 16
+                )
+                % 1000
+                / 100.0
+                for lab in self.labels
+            ]
+            for text in batch_texts
+        ]
+
+
 def relation_rules_for_doc(
     text: str, mentions: list[tuple[int, int, str]]
 ) -> set[tuple[tuple[int, int], tuple[int, int], str]]:

@@ -3697,6 +3697,73 @@ FROM anns a LEFT JOIN conv c
 """
 
 
+# --------------------------- document-level text classification taskmodule
+
+
+def q_doc_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document classification taskmodule (reference
+    simple_transformer_text_classification.py:113-216: encode_input
+    truncates to max_length, the model emits per-class logits,
+    unbatch_output softmaxes + argmaxes, create_annotations_from_output
+    yields one Label(label, score)). Mock encoder logits are md5 hex
+    slices so DuckDB reproduces the whole softmax bit-for-bit before
+    rounding; the stage itself is the real encode->forward->unbatch
+    mapInPandas path (operators/doc_classify.py)."""
+    from .operators.doc_classify import DOC_LABELS, classify_documents
+    from .plans.skew import ensure_parallelism
+
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    out = classify_documents(
+        docs,
+        model_name="doc_mock_classifier",
+        model_config={"labels": DOC_LABELS},
+        max_length=64,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "label",
+        F.round("score", 4).alias("score"),
+        "n_tokens",
+    )
+
+
+def _doc_label_oracle() -> str:
+    from .operators.doc_classify import DOC_LABELS
+
+    lg_items = ",\n      ".join(
+        f"(('0x' || substr(md5(enc_text || '|{lab}'), 1, 8))::BIGINT % 1000)"
+        f" / 100.0" for lab in DOC_LABELS
+    )
+    labels_lit = ", ".join(f"'{lab}'" for lab in DOC_LABELS)
+    z_sum = " + ".join(
+        f"exp(lgs[{i + 1}] - m)" for i in range(len(DOC_LABELS))
+    )
+    return f"""
+WITH enc AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         array_to_string(string_split(text, ' ')[1:64], ' ') AS enc_text
+  FROM documents
+), lg AS (
+  SELECT doc_id, n_tokens,
+    [{lg_items}] AS lgs
+  FROM enc
+), best AS (
+  SELECT doc_id, n_tokens, lgs,
+         list_aggregate(lgs, 'max') AS m,
+         list_position(lgs, list_aggregate(lgs, 'max')) AS idx
+  FROM lg
+)
+SELECT doc_id,
+  ([{labels_lit}])[idx] AS label,
+  round(1.0 / ({z_sum}), 4) AS score,
+  n_tokens
+FROM best
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # KG construction
     "kg_mentions": (q_kg_mentions, MENTIONS_ORACLE),
@@ -3796,4 +3863,6 @@ QUERIES: dict[str, tuple] = {
     "doc_summary": (q_doc_summary, DOC_SUMMARY_ORACLE),
     # IO tag decode (merge-adjacent semantics; gaps-and-islands oracle)
     "io_tag_spans": (q_io_tag_spans, IO_TAG_SPANS_ORACLE),
+    # document-level text-classification taskmodule (encode->forward->unbatch)
+    "doc_label": (q_doc_label, _doc_label_oracle()),
 }
