@@ -3764,6 +3764,88 @@ FROM best
 """
 
 
+# ------------------------ GENRE-style generative entity linking (trie)
+
+
+def q_kg_entity_linking_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trie-constrained generative entity linking (reference models/genre/
+    + pointer_network/logits_processor.py:9-57: per-step allowed-token
+    masking from the prefix). Greedy decode (HF num_beams=1 semantics)
+    over the broadcast ENTITY_KB trie with md5 mock step scores; the
+    oracle unrolls the decode step-by-step, so a constraint violation at
+    ANY step (an out-of-trie token surviving) breaks the value hash."""
+    from .operators.entity_linking_gen import (
+        ENTITY_KB,
+        link_entities_generative,
+    )
+
+    m = mentions_df(spark, sf_dir).select("doc_id", "start", "surface")
+    return link_entities_generative(m, kb=ENTITY_KB, beam_size=1)
+
+
+def _entity_linking_gen_oracle() -> str:
+    from .operators.entity_linking_gen import ENTITY_KB, trie_edges
+
+    edges_values = ",\n    ".join(
+        f"('{p}', '{n}')" for p, n in trie_edges(ENTITY_KB)
+    )
+
+    def sc(prefix_expr: str, cand_expr: str) -> str:
+        return (
+            f"('0x' || substr(md5(key || '|' || {prefix_expr} || '|' || "
+            f"{cand_expr}), 1, 8))::BIGINT % 1000"
+        )
+
+    return f"""
+WITH ments AS ({MENTIONS_ORACLE}),
+keyed AS (
+  SELECT doc_id, start, surface,
+         surface || '#' || doc_id || '#' || start AS key
+  FROM ments
+),
+edges(prefix, next) AS (VALUES
+    {edges_values}
+),
+s1 AS (
+  SELECT k.*, e.next AS t1, {sc("''", "e.next")} AS sc1
+  FROM keyed k JOIN edges e ON e.prefix = ''
+  QUALIFY row_number() OVER (PARTITION BY doc_id, start
+      ORDER BY sc1 DESC, e.next) = 1
+),
+s2 AS (
+  SELECT s1.*, e.next AS c2, {sc("t1", "e.next")} AS sc2
+  FROM s1 JOIN edges e ON e.prefix = s1.t1
+  QUALIFY row_number() OVER (PARTITION BY doc_id, start
+      ORDER BY sc2 DESC, e.next) = 1
+),
+s3 AS (
+  SELECT s2.*, e.next AS c3,
+    CASE WHEN e.next IS NOT NULL
+         THEN {sc("t1 || ' ' || c2", "e.next")} END AS sc3
+  FROM s2 LEFT JOIN edges e
+    ON s2.c2 != '</s>' AND e.prefix = s2.t1 || ' ' || s2.c2
+  QUALIFY row_number() OVER (PARTITION BY doc_id, start
+      ORDER BY sc3 DESC NULLS LAST, e.next NULLS LAST) = 1
+),
+s4 AS (
+  SELECT s3.*, e.next AS c4,
+    CASE WHEN e.next IS NOT NULL
+         THEN {sc("t1 || ' ' || c2 || ' ' || c3", "e.next")} END AS sc4
+  FROM s3 LEFT JOIN edges e
+    ON s3.c3 IS NOT NULL AND s3.c3 != '</s>'
+   AND e.prefix = s3.t1 || ' ' || s3.c2 || ' ' || s3.c3
+  QUALIFY row_number() OVER (PARTITION BY doc_id, start
+      ORDER BY sc4 DESC NULLS LAST, e.next NULLS LAST) = 1
+)
+SELECT doc_id, start, surface,
+  CASE WHEN c2 = '</s>' THEN t1
+       WHEN c3 = '</s>' THEN t1 || ' ' || c2
+       ELSE t1 || ' ' || c2 || ' ' || c3 END AS entity,
+  (sc1 + sc2 + coalesce(sc3, 0) + coalesce(sc4, 0))::BIGINT AS gen_score
+FROM s4
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # KG construction
     "kg_mentions": (q_kg_mentions, MENTIONS_ORACLE),
@@ -3865,4 +3947,9 @@ QUERIES: dict[str, tuple] = {
     "io_tag_spans": (q_io_tag_spans, IO_TAG_SPANS_ORACLE),
     # document-level text-classification taskmodule (encode->forward->unbatch)
     "doc_label": (q_doc_label, _doc_label_oracle()),
+    # GENRE-style trie-constrained generative entity linking
+    "kg_entity_linking_gen": (
+        q_kg_entity_linking_gen,
+        _entity_linking_gen_oracle(),
+    ),
 }
