@@ -3764,6 +3764,100 @@ FROM best
 """
 
 
+# ---------------- doc-level as_type: token windows back to text documents
+
+
+def q_doc_as_type_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level as_type conversion both ways (reference
+    utils/document.py:150-232 text->token + :302-363 token->text): window-
+    tokenize every document, then reconstruct each window's text from the
+    token/offset arrays with the pure-JVM gap-fill fold
+    (token_documents_to_text_documents) and assert it matches the source
+    substring at the recorded char_offset. The oracle rebuilds the window
+    text independently by re-joining the window token slice."""
+    from .operators.doc_tokenize import (
+        text_documents_to_token_documents,
+        token_documents_to_text_documents,
+    )
+    from .plans.skew import ensure_parallelism
+
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        F.sha2("text", 256).alias("content_sha256"),
+    )
+    tok_docs = text_documents_to_token_documents(
+        docs, TOKRT_WINDOW, TOKRT_OVERLAP
+    )
+    txt = token_documents_to_text_documents(tok_docs)
+    src = docs.select(
+        F.col("doc_id").alias("_doc_id"), F.col("text").alias("src_text")
+    )
+    return (
+        txt.join(src, F.col("doc_id") == F.col("_doc_id"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("window_idx").cast("long").alias("window_idx"),
+            F.col("char_offset").cast("long").alias("char_offset"),
+            F.length("text").cast("long").alias("n_chars"),
+            "text",
+            (
+                F.col("text")
+                == F.expr(
+                    "substring(src_text, char_offset + 1, length(text))"
+                )
+            ).alias("matches_source"),
+        )
+    )
+
+
+def _doc_as_type_text_oracle() -> str:
+    stride = TOKRT_WINDOW - 2 * TOKRT_OVERLAP
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, unnest(string_split(text, ' ')) AS surface,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id, text, surface, ord,
+         (sum(length(surface) + 1) OVER (PARTITION BY doc_id ORDER BY ord)
+          - length(surface) - 1) AS cs
+  FROM toks
+), offs AS (
+  SELECT doc_id::BIGINT AS doc_id, any_value(text) AS text,
+         list(cs ORDER BY ord) AS starts_arr,
+         list(cs + length(surface) ORDER BY ord) AS ends_arr,
+         list(surface ORDER BY ord) AS toks_arr,
+         count(*)::BIGINT AS n_toks
+  FROM pos GROUP BY doc_id
+), nw AS (
+  SELECT doc_id,
+    CASE WHEN n_toks <= {TOKRT_WINDOW} THEN 1
+         ELSE 1 + ceil((n_toks - {TOKRT_WINDOW}) / {stride}.0)::BIGINT
+    END AS nw, n_toks
+  FROM offs
+), wins AS (
+  SELECT doc_id,
+    unnest(generate_series(0, nw - 1))::BIGINT AS widx,
+    n_toks
+  FROM nw
+), spans AS (
+  SELECT doc_id, widx,
+    ({stride} * widx)::BIGINT AS ws,
+    least({stride} * widx + {TOKRT_WINDOW}, n_toks)::BIGINT AS we
+  FROM wins
+)
+SELECT o.doc_id, s.widx AS window_idx,
+  o.starts_arr[s.ws + 1]::BIGINT AS char_offset,
+  (o.ends_arr[s.we] - o.starts_arr[s.ws + 1])::BIGINT AS n_chars,
+  array_to_string(o.toks_arr[s.ws + 1 : s.we], ' ') AS text,
+  substr(o.text, (o.starts_arr[s.ws + 1] + 1)::BIGINT,
+         (o.ends_arr[s.we] - o.starts_arr[s.ws + 1])::BIGINT)
+    = array_to_string(o.toks_arr[s.ws + 1 : s.we], ' ') AS matches_source
+FROM spans s JOIN offs o USING (doc_id)
+"""
+
+
 # ------------------------ GENRE-style generative entity linking (trie)
 
 
@@ -3952,4 +4046,6 @@ QUERIES: dict[str, tuple] = {
         q_kg_entity_linking_gen,
         _entity_linking_gen_oracle(),
     ),
+    # doc-level as_type: token windows -> reconstructed text documents
+    "doc_as_type_text": (q_doc_as_type_text, _doc_as_type_text_oracle()),
 }
