@@ -62,6 +62,48 @@ def stream_kg_triples(
     return writer.start()
 
 
+def stream_kg_triples_committed(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+    **extract_kwargs,
+):
+    """File-stream -> two-phase-committed triple snapshots.
+
+    Composes the stream with plans/incremental.py: every micro-batch runs
+    ingest_increment (stage data under a fresh run_id, THEN write the unit
+    markers as the commit point). The unit-key anti-join inside
+    ingest_increment makes the sink idempotent under exactly the failure
+    Structured Streaming's at-least-once foreachBatch contract allows: a
+    batch replayed after a crash-restart (or a lost streaming checkpoint)
+    finds its units already marked and is a no-op — no duplicate triples
+    become visible, matching the reference's resume-without-reprocessing
+    semantics at the pipeline level (engine extension, SURVEY.md §2.9).
+    """
+    from ..plans.incremental import ingest_increment
+
+    stream_src = (
+        spark.readStream.schema(SOURCE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def commit_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        ingest_increment(
+            batch_df.sparkSession, batch_df, out_dir, **extract_kwargs
+        )
+
+    writer = stream_src.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def batch_kg_triples(spark: SparkSession, source_dir: str, **kwargs) -> DataFrame:
     """The same transformation in batch — used to verify stream==batch."""
     src = spark.read.schema(SOURCE_SCHEMA).parquet(source_dir)

@@ -1,7 +1,11 @@
 """Streaming KG extraction == batch KG extraction on the same files."""
 
 from pytorch_ie_spark.sources.readers import source_files_from_documents
-from pytorch_ie_spark.streaming.kg_stream import batch_kg_triples, stream_kg_triples
+from pytorch_ie_spark.streaming.kg_stream import (
+    batch_kg_triples,
+    stream_kg_triples,
+    stream_kg_triples_committed,
+)
 
 
 def test_stream_triples_match_batch(spark, sf_dir, tmp_path):
@@ -38,3 +42,74 @@ def test_stream_triples_match_batch(spark, sf_dir, tmp_path):
     )
     assert len(stream_rows) > 0
     assert stream_rows == batch_rows
+
+
+def test_stream_committed_end_to_end_crash_restart(spark, sf_dir, tmp_path):
+    """File source -> fused extract -> two-phase-committed snapshot ->
+    compaction, with crash-restart idempotence: replaying the whole stream
+    after LOSING the streaming checkpoint adds no duplicate triples,
+    because the per-batch unit-marker anti-join already committed every
+    unit."""
+    from pytorch_ie_spark.plans.incremental import (
+        compact_triples,
+        orphan_run_ids,
+        read_triples,
+    )
+
+    src_dir = tmp_path / "src_files"
+    all_src = source_files_from_documents(spark, sf_dir)
+    first = all_src.limit(30)
+    rest = all_src.join(first.select("path"), "path", "left_anti")
+    first.repartition(3).write.parquet(str(src_dir))
+
+    out_dir = str(tmp_path / "ingest")
+
+    def run_stream(ckpt: str) -> None:
+        q = stream_kg_triples_committed(
+            spark, str(src_dir), ckpt, out_dir, max_files_per_trigger=2
+        )
+        q.awaitTermination(120)
+        assert not q.isActive  # availableNow drained and stopped
+
+    run_stream(str(tmp_path / "ckpt1"))
+    baseline = sorted(
+        map(tuple, read_triples(spark, out_dir).select(
+            "doc_id", "subj", "pred", "obj").collect())
+    )
+    assert len(baseline) > 0
+    from pytorch_ie_spark.operators.extract import fused_triples
+
+    expected = sorted(
+        map(tuple, fused_triples(batch_kg_triples(spark, str(src_dir))).select(
+            "doc_id", "subj", "pred", "obj").collect())
+    )
+    assert baseline == expected
+
+    # crash-restart with a LOST streaming checkpoint: full source replay,
+    # every batch a committed no-op -> byte-identical committed view
+    run_stream(str(tmp_path / "ckpt2"))
+    replay = sorted(
+        map(tuple, read_triples(spark, out_dir).select(
+            "doc_id", "subj", "pred", "obj").collect())
+    )
+    assert replay == baseline
+    assert orphan_run_ids(spark, out_dir) == []
+
+    # growth: new files arrive, the SAME checkpoint picks up only them
+    rest.repartition(3).write.mode("append").parquet(str(src_dir))
+    run_stream(str(tmp_path / "ckpt2"))
+    grown = read_triples(spark, out_dir)
+    full_expected = sorted(
+        map(tuple, fused_triples(batch_kg_triples(spark, str(src_dir))).select(
+            "doc_id", "subj", "pred", "obj").collect())
+    )
+    assert sorted(
+        map(tuple, grown.select("doc_id", "subj", "pred", "obj").collect())
+    ) == full_expected
+
+    # read-optimized compaction: same rows, bounded file count
+    stats = compact_triples(spark, out_dir, str(tmp_path / "compact"))
+    assert stats["rows"] == len(full_expected)
+    n_preds = grown.select("pred").distinct().count()
+    assert stats["files_after"] <= n_preds
+    assert stats["files_after"] < stats["files_before"]
