@@ -341,19 +341,26 @@ def canonicalize_mentions(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     alias_dict: DataFrame | None = None,
+    max_bucket: int | None = 1000,
 ) -> tuple[DataFrame, DataFrame]:
     """Full canonicalization: returns (mention_entity_map, components).
 
     mention_entity_map: (mention_id, entity_id) where entity_id is the linked
     dictionary id when available, else 'sf:' + canonical surface of the
     mention's connected component.
+
+    This is a corpus-scale entry point, so the LSH quadratic-bucket guard is
+    ON by default (`max_bucket=1000`: one degenerate band key otherwise makes
+    the candidate self-join O(n^2)); pass None for the exact variant the
+    oracle-gated dedup queries use. Dropped buckets are auditable via
+    dedup.band_bucket_sizes.
     """
     surfaces = mentions.select(
         normalize_surface(F.col("surface")).alias("surface_norm")
     ).dropDuplicates(["surface_norm"])
     edges = lsh_candidate_edges(
         surfaces, "surface_norm", shingle_k=shingle_k,
-        jaccard_threshold=jaccard_threshold,
+        jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,
     )
     comps = connected_components(edges)
     # singletons (no edges) keep themselves as component

@@ -84,6 +84,10 @@ def pr_f1(
             .withColumn("gold_count", F.lit(None).cast("long"))
             .withColumn("pred_count", F.lit(None).cast("long"))
             .withColumn("tp", F.lit(None).cast("long"))
+            # no labels at all -> avg over zero rows is NULL; the reference
+            # omits the macro entry entirely in that case, so drop the row
+            # in-plan instead of emitting an all-NULL score triple
+            .where(F.col("precision").isNotNull())
         )
         out = out.unionByName(macro)
     return out

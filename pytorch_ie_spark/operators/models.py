@@ -193,7 +193,18 @@ class HFTokenClassificationModel:
         self._torch = torch
         self.batch_size = int(batch_size)
         self.device = device
-        self.tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        # word_ids() below only exists on fast tokenizers; require one up
+        # front so a slow-tokenizer checkpoint fails at construction with a
+        # clear message instead of at predict time
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            model_name_or_path, use_fast=True
+        )
+        if not getattr(self.tokenizer, "is_fast", True):
+            raise ValueError(
+                f"checkpoint {model_name_or_path!r} resolved to a slow "
+                "tokenizer; HFTokenClassificationModel needs a fast "
+                "tokenizer for word_ids()-based subword alignment"
+            )
         self.model = AutoModelForTokenClassification.from_pretrained(
             model_name_or_path
         )

@@ -30,7 +30,6 @@ presence-means-committed semantics. No migration needed.
 
 from __future__ import annotations
 
-import glob
 import os
 import uuid
 
@@ -56,20 +55,42 @@ def _unit_key_col():
 LEGACY_RUN_ID = "legacy"
 
 
-def _legacy_triple_dirs(out_dir: str) -> list[str]:
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for whatever store `path_str` lives on — local,
+    HDFS, or S3A. All path discovery goes through this instead of
+    driver-local glob/os.path, which silently return nothing for remote
+    out_dirs."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path_str)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _glob_dirs(spark: SparkSession, pattern: str) -> list[str]:
+    fs, hpath = _hadoop_fs(spark, pattern)
+    statuses = fs.globStatus(hpath)
+    if statuses is None:
+        return []
+    return sorted(str(s.getPath()) for s in statuses)
+
+
+def _path_exists(spark: SparkSession, path_str: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path_str)
+    return bool(fs.exists(hpath))
+
+
+def _legacy_triple_dirs(spark: SparkSession, out_dir: str) -> list[str]:
     """pred=* partitions sitting DIRECTLY under triples/ (pre-run_id data)."""
-    return sorted(glob.glob(os.path.join(_triples_path(out_dir), "pred=*")))
+    return _glob_dirs(spark, os.path.join(_triples_path(out_dir), "pred=*"))
 
 
-def _modern_triple_dirs(out_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(_triples_path(out_dir), "run_id=*")))
+def _modern_triple_dirs(spark: SparkSession, out_dir: str) -> list[str]:
+    return _glob_dirs(spark, os.path.join(_triples_path(out_dir), "run_id=*"))
 
 
 def _marker_table(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """Markers normalized to (unit_key, run_id); legacy marker files (no
     run_id column) read as run_id='legacy' via parquet schema merge."""
     ppath = _processed_path(out_dir)
-    if not os.path.exists(ppath):
+    if not _path_exists(spark, ppath):
         return None
     m = spark.read.option("mergeSchema", "true").parquet(ppath)
     if "run_id" not in m.columns:
@@ -81,7 +102,8 @@ def _raw_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     """All physical triples regardless of layout generation, with a run_id
     column (legacy rows get run_id='legacy')."""
     tpath = _triples_path(out_dir)
-    legacy, modern = _legacy_triple_dirs(out_dir), _modern_triple_dirs(out_dir)
+    legacy = _legacy_triple_dirs(spark, out_dir)
+    modern = _modern_triple_dirs(spark, out_dir)
     parts = []
     if modern:
         parts.append(spark.read.option("basePath", tpath).parquet(*modern))
@@ -122,7 +144,7 @@ def committed_run_ids(spark: SparkSession, out_dir: str) -> DataFrame:
         if markers is not None
         else spark.createDataFrame([], "run_id string")
     )
-    if _legacy_triple_dirs(out_dir):
+    if _legacy_triple_dirs(spark, out_dir):
         ids = ids.union(
             spark.createDataFrame([(LEGACY_RUN_ID,)], "run_id string")
         ).dropDuplicates(["run_id"])
@@ -217,9 +239,14 @@ def compact_triples(
     )
 
     def _parquet_files(root: str) -> int:
+        fs, hpath = _hadoop_fs(spark, root)
+        if not fs.exists(hpath):
+            return 0
+        it = fs.listFiles(hpath, True)
         n = 0
-        for _d, _s, files in os.walk(root):
-            n += sum(1 for f in files if f.endswith(".parquet"))
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
         return n
 
     return {

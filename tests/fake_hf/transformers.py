@@ -53,8 +53,11 @@ class _Encoding(dict):
 
 
 class AutoTokenizer:
+    #: the real wrapper asserts is_fast (word_ids() is fast-only)
+    is_fast = True
+
     @classmethod
-    def from_pretrained(cls, model_name_or_path):
+    def from_pretrained(cls, model_name_or_path, use_fast=True):
         return cls()
 
     @staticmethod

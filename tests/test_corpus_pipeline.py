@@ -66,6 +66,16 @@ def test_per_label_f1(spark, pipeline_outputs):
     }
 
 
+def test_pr_f1_empty_inputs_omit_macro(spark):
+    """With no labels at all the reference metric has no macro entry —
+    pr_f1 must not emit an all-NULL MACRO row."""
+    empty = spark.createDataFrame([], "doc_id string, label string")
+    rows = pr_f1(empty, empty, ["doc_id", "label"]).collect()
+    labels = {r["label"] for r in rows}
+    assert "MACRO" not in labels
+    assert labels == {"MICRO"}  # micro row survives with zero counts
+
+
 def test_mention_offsets_golden(spark, pipeline_outputs):
     """Exact char offsets for doc5 (reference tests assert every offset)."""
     _, mentions, _ = pipeline_outputs
