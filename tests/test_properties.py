@@ -148,3 +148,72 @@ def test_pointer_codec_round_trip_property(raw):
     assert rest == [vocab.eos_id] if rels else rest == ids
     assert errors.get("correct", 0) == len(rels)
     assert sorted(decoded) == sorted(rels)
+
+
+# ------------------- trie-constrained generative decode (GENRE analog)
+
+
+@st.composite
+def entity_kbs(draw):
+    toks = st.sampled_from(["a", "b", "c", "spark", "sql", "join", "x"])
+    names = draw(
+        st.lists(
+            st.lists(toks, min_size=1, max_size=3).map(" ".join),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    return names
+
+
+@settings(max_examples=60, deadline=None)
+@given(entity_kbs(), st.integers(min_value=0, max_value=10**6))
+def test_greedy_decode_always_in_kb(kb, seed):
+    from pytorch_ie_spark.operators.entity_linking_gen import (
+        EntityTrie,
+        constrained_greedy_decode,
+    )
+
+    entity, score = constrained_greedy_decode(f"k{seed}", EntityTrie(kb))
+    assert entity in kb
+    assert score >= 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(entity_kbs(), st.integers(min_value=0, max_value=10**6))
+def test_wide_beam_is_exact_argmax(kb, seed):
+    from pytorch_ie_spark.operators.entity_linking_gen import (
+        EOS,
+        EntityTrie,
+        constrained_beam_decode,
+        md5_step_score,
+    )
+
+    key = f"k{seed}"
+
+    def brute(name):
+        toks = name.split(" ")
+        total = sum(md5_step_score(key, toks[:i], t) for i, t in enumerate(toks))
+        return total + md5_step_score(key, toks, EOS)
+
+    best_score = max(brute(n) for n in kb)
+    entity, score = constrained_beam_decode(
+        key, EntityTrie(kb), beam_size=len(kb) + 1
+    )
+    assert score == best_score
+    assert brute(entity) == best_score
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-20, max_value=20, allow_nan=False),
+             min_size=1, max_size=8),
+)
+def test_softmax_argmax_properties(logits):
+    from pytorch_ie_spark.operators.doc_classify import softmax_argmax
+
+    idx, prob = softmax_argmax(logits)
+    assert idx == logits.index(max(logits))  # first max index
+    assert 0.0 < prob <= 1.0
+    assert prob >= 1.0 / len(logits) - 1e-12  # argmax prob is at least uniform
