@@ -92,3 +92,19 @@ def test_mention_stage_has_no_range_sampling(spark, sf001):
         plan = _plan(df)
         assert "rangepartitioning" not in plan.lower(), plan
         assert "hashpartitioning" in plan.lower()
+
+
+def test_mentions_lineage_scan_is_parallel(spark, sf001):
+    """The single-row-group documents parquet plans as ONE scan task; every
+    mention-derived lineage (candidate pairs, reversed relations, pointer/
+    seq2seq round-trips) must fan it out BEFORE the aggregate-HOF mention
+    projection, or the whole chain materializes on one core the first time
+    a checkpoint touches it (the round-3 kg_reversed_relations defect)."""
+    from pytorch_ie_spark.queries import mentions_df
+
+    m = mentions_df(spark, sf001)
+    target = spark.sparkContext.defaultParallelism
+    assert m.rdd.getNumPartitions() >= min(target, 8)
+    # and the exchange sits in the plan (round-robin repartition), so the
+    # fan-out is part of the lineage any lazy checkpoint replays
+    assert "roundrobinpartitioning" in _plan(m).lower()
