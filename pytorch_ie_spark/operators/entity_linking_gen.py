@@ -58,7 +58,8 @@ ENTITY_KB = [
 
 LINKING_SCHEMA = (
     "doc_id long, start long, surface string, entity string, gen_score long"
-)
+)  # reference shape; link_entities_generative derives the actual schema
+#    from its input so string doc ids (pipeline) work like long ones (bench)
 
 
 class EntityTrie:
@@ -189,12 +190,22 @@ def link_entities_generative(
     kb: list[str] | None = None,
     beam_size: int = 1,
     model_name: str = "genre_linker",
+    id_col: str | None = None,
 ) -> DataFrame:
-    """Mentions (doc_id, start, surface) -> generated canonical entity.
+    """Mentions (doc_id, start, surface [, id_col]) -> generated canonical
+    entity.
 
     The decode key is surface#doc_id#start so distinct mentions condition
     the scorer differently (the mention-context analog of GENRE's encoder
-    conditioning)."""
+    conditioning). `id_col` (e.g. mention_id) is carried through untouched
+    so the result joins back to annotation layers without re-keying. The
+    output schema mirrors the input's doc_id/start types (long in the
+    synthetic bench tables, string in the pipeline's path-based doc ids)."""
+    cols = ["doc_id", "start", "surface"] + ([id_col] if id_col else [])
+    selected = mentions.select(*cols)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in selected.schema.fields
+    ) + ", entity string, gen_score long"
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # the python worker unpickles this closure with operators.models
@@ -213,19 +224,12 @@ def link_entities_generative(
                 for s, d, st in zip(pdf["surface"], pdf["doc_id"], pdf["start"])
             ]
             decoded = model.predict_entities(keys)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "start": pdf["start"],
-                    "surface": pdf["surface"],
-                    "entity": [e for e, _ in decoded],
-                    "gen_score": [s for _, s in decoded],
-                }
-            )
+            out = pdf.copy()
+            out["entity"] = [e for e, _ in decoded]
+            out["gen_score"] = [s for _, s in decoded]
+            yield out
 
-    return mentions.select("doc_id", "start", "surface").mapInPandas(
-        stage, schema=LINKING_SCHEMA
-    )
+    return selected.mapInPandas(stage, schema=out_schema)
 
 
 def trie_edges(kb: list[str]) -> list[tuple[str, str]]:

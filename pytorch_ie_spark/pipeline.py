@@ -48,6 +48,16 @@ class KgPipelineConfig:
     # shared prefix ("entity a" vs "entity g" = 0.714) apart; true aliases are
     # the linking dictionary's job
     jaccard_threshold: float = 0.8
+    # entity-id assignment when canonicalize is on:
+    #   'lsh'        (default) — MinHash-LSH surface canonicalization + CC
+    #                (+ alias-dict linking), the reference's linking analog,
+    #   'generative' — GENRE-style trie-constrained decode per mention
+    #                (operators/entity_linking_gen.py); ids are
+    #                'gen:<decoded KB entity>'.
+    linker: str = "lsh"
+    # candidate-entity KB for the generative linker (None -> ENTITY_KB)
+    linker_kb: list | None = None
+    linker_beam_size: int = 1
     none_label: str = "no_relation"
     # relation stage plan:
     #   'batched'   (default) — fused candidates+classify, ONE Python call
@@ -140,7 +150,19 @@ def run_kg_pipeline(
 
     def build_triples() -> DataFrame:
         entity_map = None
-        if cfg.canonicalize:
+        if cfg.canonicalize and cfg.linker == "generative":
+            from .operators.entity_linking_gen import link_entities_generative
+
+            entity_map = link_entities_generative(
+                mentions,
+                kb=cfg.linker_kb,
+                beam_size=cfg.linker_beam_size,
+                id_col="mention_id",
+            ).select(
+                "mention_id",
+                F.concat(F.lit("gen:"), F.col("entity")).alias("entity_id"),
+            )
+        elif cfg.canonicalize:
             entity_map, _ = canonicalize_mentions(
                 mentions, jaccard_threshold=cfg.jaccard_threshold
             )

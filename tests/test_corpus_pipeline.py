@@ -230,3 +230,26 @@ def test_batched_relation_plan_shape(spark, pipeline_outputs):
     )
     assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") >= 1
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_pipeline_generative_linker(spark):
+    """linker='generative' swaps the LSH canonicalizer for the GENRE-style
+    trie decode: every triple's subj/obj is a 'gen:'-prefixed KB entity,
+    and the relation structure (doc, pred, arg mention ids) is unchanged
+    vs the LSH run."""
+    from pytorch_ie_spark.operators.entity_linking_gen import ENTITY_KB
+
+    src = fixture_source_files(spark)
+    gen = run_kg_pipeline(
+        spark, src, KgPipelineConfig(linker="generative")
+    ).collect()
+    assert len(gen) > 0
+    for r in gen:
+        assert r["subj"].startswith("gen:") and r["obj"].startswith("gen:")
+        assert r["subj"][4:] in ENTITY_KB and r["obj"][4:] in ENTITY_KB
+    lsh = run_kg_pipeline(spark, src, KgPipelineConfig()).collect()
+    key = lambda rows: sorted(
+        (r["doc_id"], r["pred"], r["head_mention_id"], r["tail_mention_id"])
+        for r in rows
+    )
+    assert key(gen) == key(lsh)
