@@ -3764,6 +3764,132 @@ FROM best
 """
 
 
+# --------------------- label-vocabulary _prepare (taskmodule, BIO-expanded)
+
+
+def q_label_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """taskmodule._prepare under the oracle gate (reference
+    transformer_token_classification.py:117-130: collect distinct labels,
+    sort, expand to O + B-/I- pairs with O at id 0). Runs the REAL
+    prepare_label_vocabulary operator (driver-side collect by design — the
+    vocab is a broadcast dict at scale) and exposes the result as rows."""
+    from .operators.partitions import prepare_label_vocabulary
+
+    vocab = prepare_label_vocabulary(mentions_df(spark, sf_dir), bio=True)
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(vocab)], "label_id long, tag string"
+    )
+
+
+LABEL_VOCAB_ORACLE = f"""
+WITH ments AS ({MENTIONS_ORACLE}),
+labs AS (
+  SELECT DISTINCT label FROM ments
+), idx AS (
+  SELECT label, row_number() OVER (ORDER BY label) AS i FROM labs
+)
+SELECT 0::BIGINT AS label_id, 'O' AS tag
+UNION ALL SELECT (2 * i - 1)::BIGINT, 'B-' || label FROM idx
+UNION ALL SELECT (2 * i)::BIGINT, 'I-' || label FROM idx
+"""
+
+
+# ------------------- spans -> BIO tags encode (overlap -> None) per doc
+
+
+def q_kg_spans_to_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spans_to_bio_tags under the oracle gate (reference
+    utils/span.py:168-216: encode labeled token spans as BIO; ANY overlap
+    makes the encoding undefined -> None). Gazetteer mentions extended to
+    2-token spans so I- tags appear and adjacent mentions genuinely
+    overlap: docs with overlapping spans come back encodable=false with
+    null tags — the reference's None, observable per document."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .functions.span import spans_to_bio_tags
+    from .plans.skew import ensure_parallelism
+
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = (text or "").split(" ")
+                n = len(toks)
+                spans = [
+                    (GAZETTEER[t], (i, min(i + 1, n - 1)))
+                    for i, t in enumerate(toks)
+                    if t in GAZETTEER
+                ]
+                tags = spans_to_bio_tags(spans, n)
+                rows.append(
+                    (
+                        doc_id,
+                        n,
+                        tags is not None,
+                        "|".join(tags) if tags is not None else None,
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_tokens", "encodable", "tags"]
+        )
+
+    return docs.mapInPandas(
+        stage, "doc_id long, n_tokens long, encodable boolean, tags string"
+    )
+
+
+SPANS_TO_TAGS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(text, ' ')) AS surface,
+         (generate_subscripts(string_split(text, ' '), 1) - 1)::BIGINT AS pos
+  FROM documents
+), counts AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY doc_id
+), spans AS (
+  SELECT t.doc_id, t.surface, t.pos AS s,
+         least(t.pos + 1, c.n - 1)::BIGINT AS e,
+         {_gaz_case_sql().replace("CASE surface", "CASE t.surface")} AS label
+  FROM toks t JOIN counts c USING (doc_id)
+  WHERE t.surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), overl AS (
+  -- spans are length <= 2 with distinct integer starts, so interval
+  -- overlap reduces to the adjacent-in-start-order pair check
+  SELECT doc_id,
+         max(CASE WHEN nxt IS NOT NULL AND nxt <= e THEN 1 ELSE 0 END)
+           AS has_overlap
+  FROM (
+    SELECT doc_id, e,
+           lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+    FROM spans
+  )
+  GROUP BY doc_id
+), enc AS (
+  SELECT c.doc_id, c.n, coalesce(o.has_overlap, 0) = 0 AS encodable
+  FROM counts c LEFT JOIN overl o USING (doc_id)
+), tagged AS (
+  SELECT t.doc_id, t.pos,
+    CASE WHEN s.s IS NULL THEN 'O'
+         WHEN t.pos = s.s THEN 'B-' || s.label
+         ELSE 'I-' || s.label END AS tag
+  FROM toks t LEFT JOIN spans s
+    ON s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e
+), tagstr AS (
+  SELECT doc_id, string_agg(tag, '|' ORDER BY pos) AS tags
+  FROM tagged GROUP BY doc_id
+)
+SELECT e.doc_id, e.n AS n_tokens, e.encodable,
+       CASE WHEN e.encodable THEN ts.tags END AS tags
+FROM enc e JOIN tagstr ts USING (doc_id)
+"""
+
+
 # ---------------- doc-level as_type: token windows back to text documents
 
 
@@ -4048,4 +4174,8 @@ QUERIES: dict[str, tuple] = {
     ),
     # doc-level as_type: token windows -> reconstructed text documents
     "doc_as_type_text": (q_doc_as_type_text, _doc_as_type_text_oracle()),
+    # taskmodule _prepare: sorted BIO-expanded label vocabulary
+    "label_vocab": (q_label_vocab, LABEL_VOCAB_ORACLE),
+    # spans -> BIO tags encode, overlap -> None per document
+    "kg_spans_to_tags": (q_kg_spans_to_tags, SPANS_TO_TAGS_ORACLE),
 }
