@@ -245,6 +245,90 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return hashed.select("doc_id", sim.cast("int").alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded SimHash near-duplicate pairs (the Manku et al. WWW'07
+    rotation/banding scheme): any pair within hamming distance
+    d < n_bands must agree EXACTLY on at least one of the n_bands
+    bit-bands (pigeonhole), so a bucket self-join per band finds every
+    such pair with no all-pairs comparison; candidates are then verified
+    with the exact popcount of the XOR. Requires max_hamming < n_bands
+    for exact recall (asserted).
+
+    Scale shape mirrors minhash_lsh_pairs: only (doc_id, band, simhash)
+    rides the bucket shuffle; `max_bucket` caps degenerate buckets inside
+    the same shuffle (None = exact, the oracle-gated default)."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands>{max_hamming} for "
+            "pigeonhole-exact banding"
+        )
+    band_bits = 16 // n_bands
+    mask = (1 << band_bits) - 1
+    s = simhash16(df, id_col, text_col)
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "simhash", "bd.band_idx", "bd.band_val")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        bands = (
+            bands.withColumn(
+                "_bsz",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("band_idx", "band_val")
+                ),
+            )
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    a = bands.select(
+        "band_idx",
+        "band_val",
+        F.col("doc_id").alias("src_id"),
+        F.col("simhash").alias("src_sim"),
+    )
+    b_ = bands.select(
+        "band_idx",
+        "band_val",
+        F.col("doc_id").alias("dst_id"),
+        F.col("simhash").alias("dst_sim"),
+    )
+    return (
+        a.join(b_, ["band_idx", "band_val"])
+        .where(F.col("src_id") < F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            F.bit_count(
+                F.col("src_sim").bitwiseXOR(F.col("dst_sim"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["src_id", "dst_id"])
+    )
+
+
 def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Docs sharing an identical 16-bit simhash (cheap near-dup blocking)."""
     s = simhash16(df, id_col, text_col)

@@ -608,6 +608,37 @@ FROM hashed
 """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs (Manku et al. WWW'07): hamming <= 1
+    over the 16-bit signature via 2-band (8-bit) pigeonhole bucketing +
+    exact popcount verify — never an all-pairs comparison. On the 16-bit
+    portable signature, hamming <= 1 is the threshold that means
+    'near-identical fingerprint'; a production 64-bit simhash would use
+    wider bands and a larger budget."""
+    from .operators.dedup import simhash_near_dup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=1, n_bands=2
+    )
+
+
+SIMHASH_PAIRS_ORACLE = f"""
+WITH sims AS ({SIMHASH_ORACLE}),
+bands AS (
+  SELECT doc_id, simhash, b AS band_idx,
+         (simhash >> (b * 8)) & 255 AS band_val
+  FROM sims, unnest(generate_series(0, 1)) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
@@ -4096,6 +4127,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_signatures": (q_dedup_minhash_signatures, MINHASH_SIG_ORACLE),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, MINHASH_PAIRS_ORACLE),
     "dedup_simhash": (q_dedup_simhash, SIMHASH_ORACLE),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SIMHASH_PAIRS_ORACLE),
     "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
     # similarity
