@@ -926,6 +926,77 @@ FROM toks
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics per document (Rae et al.
+    2021 §A1.1: documents dominated by repeated n-grams are low-quality
+    training data): the most frequent token bigram, its share of all
+    bigrams, and the fraction of bigram occurrences belonging to any
+    repeated bigram. One explode + two keyed aggregations — map-side
+    combinable, no all-pairs anything."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split("text", " ").alias("toks"),
+    ).where(F.size("toks") >= 2)
+    n = F.size("toks")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    cnt = bigrams.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        # min of (-count, bigram) = highest count, lexicographically
+        # smallest bigram on ties — matches the oracle's row_number order
+        F.min(F.struct((-F.col("c")).alias("neg"), F.col("bigram"))).alias(
+            "top"
+        ),
+        F.sum("c").alias("total"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("rep"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("top.bigram").alias("top_bigram"),
+        (-F.col("top.neg")).cast("long").alias("top_count"),
+        F.round(-F.col("top.neg") / F.col("total"), 6).alias(
+            "top_bigram_share"
+        ),
+        F.round(F.col("rep") / F.col("total"), 6).alias("dup_bigram_frac"),
+    )
+
+
+TEXT_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(text, ' ') AS tk
+  FROM documents
+), big AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bigram
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+  WHERE len(tk) >= 2
+), cnt AS (
+  SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, bigram AS top_bigram, c AS top_count
+  FROM cnt
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram) = 1
+), sums AS (
+  SELECT doc_id, sum(c)::BIGINT AS total,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS rep
+  FROM cnt GROUP BY doc_id
+)
+SELECT t.doc_id, t.top_bigram, t.top_count::BIGINT AS top_count,
+       round(t.top_count::DOUBLE / s.total, 6) AS top_bigram_share,
+       round(s.rep::DOUBLE / s.total, 6) AS dup_bigram_frac
+FROM top t JOIN sums s USING (doc_id)
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language heuristic; confusion counts vs the lang column."""
     docs = read_table(spark, sf_dir, "documents")
@@ -4139,6 +4210,7 @@ QUERIES: dict[str, tuple] = {
     "text_stats": (q_text_stats, TEXT_STATS_ORACLE),
     "text_quality": (q_text_quality, TEXT_QUALITY_ORACLE),
     "text_langid": (q_text_langid, TEXT_LANGID_ORACLE),
+    "text_repetition": (q_text_repetition, TEXT_REPETITION_ORACLE),
     "text_fingerprint": (q_text_fingerprint, TEXT_FINGERPRINT_ORACLE),
     # relational core
     "tpch_q1": (q_tpch_q1, TPCH_Q1_ORACLE),
