@@ -96,9 +96,6 @@ def classify_documents(
     )
 
 
-def prepare_label_to_id(labels: list[str]) -> dict[str, int]:
-    """_prepare analog (reference :87-105): sorted distinct labels get ids
-    from 1; id 0 is reserved for the 'O' (outside) class."""
-    mapping = {lab: i + 1 for i, lab in enumerate(sorted(set(labels)))}
-    mapping["O"] = 0
-    return mapping
+# _prepare analog: re-exported from the module that owns the label-id
+# convention (operators/partitions.py, next to prepare_label_vocabulary)
+from .partitions import prepare_label_to_id  # noqa: E402, F401

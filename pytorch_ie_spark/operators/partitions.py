@@ -94,3 +94,14 @@ def prepare_label_vocabulary(
     for lab in labels:
         out.extend([f"B-{lab}", f"I-{lab}"])
     return out
+
+
+def prepare_label_to_id(labels: list[str]) -> dict[str, int]:
+    """List-form _prepare for document-level classification (reference
+    simple_transformer_text_classification.py:87-105): sorted distinct
+    labels get ids from 1; id 0 is reserved for the 'O' (outside) class.
+    Lives next to prepare_label_vocabulary so the id-assignment convention
+    has exactly one home."""
+    mapping = {lab: i + 1 for i, lab in enumerate(sorted(set(labels)))}
+    mapping["O"] = 0
+    return mapping

@@ -153,19 +153,27 @@ def run_kg_pipeline(
         if cfg.canonicalize and cfg.linker == "generative":
             from .operators.entity_linking_gen import link_entities_generative
 
-            entity_map = link_entities_generative(
-                mentions,
-                kb=cfg.linker_kb,
-                beam_size=cfg.linker_beam_size,
-                id_col="mention_id",
-            ).select(
-                "mention_id",
-                F.concat(F.lit("gen:"), F.col("entity")).alias("entity_id"),
+            # pin like every other stage: relations_to_triples references
+            # the entity map twice (subj and obj joins), which would run
+            # the per-mention trie decode twice per action otherwise
+            entity_map = once(
+                link_entities_generative(
+                    mentions,
+                    kb=cfg.linker_kb,
+                    beam_size=cfg.linker_beam_size,
+                    id_col="mention_id",
+                ).select(
+                    "mention_id",
+                    F.concat(F.lit("gen:"), F.col("entity")).alias(
+                        "entity_id"
+                    ),
+                )
             )
         elif cfg.canonicalize:
             entity_map, _ = canonicalize_mentions(
                 mentions, jaccard_threshold=cfg.jaccard_threshold
             )
+            entity_map = once(entity_map)
         t = relations_to_triples(relations, mentions, entity_map)
         return dedupe_triples(t)
 

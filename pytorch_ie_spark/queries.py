@@ -3918,8 +3918,8 @@ def q_kg_spans_to_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
         for pdf in batches:
+            rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = (text or "").split(" ")
                 n = len(toks)
@@ -3937,9 +3937,11 @@ def q_kg_spans_to_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "|".join(tags) if tags is not None else None,
                     )
                 )
-        yield pd.DataFrame(
-            rows, columns=["doc_id", "n_tokens", "encodable", "tags"]
-        )
+            # one output frame per incoming Arrow batch — accumulating the
+            # whole partition would defeat Arrow back-pressure
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_tokens", "encodable", "tags"]
+            )
 
     return docs.mapInPandas(
         stage, "doc_id long, n_tokens long, encodable boolean, tags string"
@@ -4002,14 +4004,22 @@ def q_doc_as_type_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     token/offset arrays with the pure-JVM gap-fill fold
     (token_documents_to_text_documents) and assert it matches the source
     substring at the recorded char_offset. The oracle rebuilds the window
-    text independently by re-joining the window token slice."""
+    text independently by re-joining the window token slice.
+
+    Corpus contract (same adjudication as kg_mentions_udf): on the
+    synthetic single-space lowercase corpus the regex tokenizer equals
+    split-on-space, so the SQL oracle applies verbatim; empty documents
+    are excluded on BOTH sides (encode_documents yields no window for
+    them, DuckDB's string_split('') would yield one)."""
     from .operators.doc_tokenize import (
         text_documents_to_token_documents,
         token_documents_to_text_documents,
     )
     from .plans.skew import ensure_parallelism
 
-    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).where(
+        F.length("text") > 0
+    ).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "text",
         F.sha2("text", 256).alias("content_sha256"),
@@ -4045,7 +4055,7 @@ def _doc_as_type_text_oracle() -> str:
 WITH toks AS (
   SELECT doc_id, text, unnest(string_split(text, ' ')) AS surface,
          generate_subscripts(string_split(text, ' '), 1) AS ord
-  FROM documents
+  FROM documents WHERE length(text) > 0
 ), pos AS (
   SELECT doc_id, text, surface, ord,
          (sum(length(surface) + 1) OVER (PARTITION BY doc_id ORDER BY ord)
@@ -4108,6 +4118,13 @@ def q_kg_entity_linking_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _entity_linking_gen_oracle() -> str:
     from .operators.entity_linking_gen import ENTITY_KB, trie_edges
 
+    # the SQL below unrolls exactly 4 decode steps (3 tokens + forced EOS);
+    # a longer KB name would decode fine in Spark but silently truncate in
+    # the oracle's final CASE — fail loudly at registration instead
+    too_long = [n for n in ENTITY_KB if len(n.split(" ")) > 3]
+    assert not too_long, (
+        f"oracle unroll depth is 3 tokens; regenerate it for {too_long}"
+    )
     edges_values = ",\n    ".join(
         f"('{p}', '{n}')" for p, n in trie_edges(ENTITY_KB)
     )
