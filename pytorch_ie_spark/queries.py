@@ -3994,6 +3994,85 @@ FROM enc e JOIN tagstr ts USING (doc_id)
 """
 
 
+# --------------- BIO encode -> decode round-trip (inverse property)
+
+
+def q_kg_tags_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIO codec inverse property under the gate: encode the 2-token
+    gazetteer spans (spans_to_bio_tags), decode the tags back
+    (bio_tags_to_spans, reference utils/span.py:41-118 — here with real
+    I- continuations, unlike the single-token mention queries), and emit
+    the decoded spans for every encodable document. The oracle constructs
+    the same spans directly, so any encode/decode asymmetry breaks the
+    hash."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .functions.span import bio_tags_to_spans, spans_to_bio_tags
+    from .plans.skew import ensure_parallelism
+
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = (text or "").split(" ")
+                n = len(toks)
+                spans = [
+                    (GAZETTEER[t], (i, min(i + 1, n - 1)))
+                    for i, t in enumerate(toks)
+                    if t in GAZETTEER
+                ]
+                tags = spans_to_bio_tags(spans, n)
+                if tags is None:
+                    continue  # overlap: encoding undefined (gated in
+                    # kg_spans_to_tags); nothing to round-trip
+                for label, (s, e) in bio_tags_to_spans(tags):
+                    rows.append((doc_id, label, s, e))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "label", "tok_start", "tok_end"]
+            )
+
+    return docs.mapInPandas(
+        stage, "doc_id long, label string, tok_start long, tok_end long"
+    )
+
+
+TAGS_ROUNDTRIP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(text, ' ')) AS surface,
+         (generate_subscripts(string_split(text, ' '), 1) - 1)::BIGINT AS pos
+  FROM documents
+), counts AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY doc_id
+), spans AS (
+  SELECT t.doc_id, t.pos AS s,
+         least(t.pos + 1, c.n - 1)::BIGINT AS e,
+         {_gaz_case_sql().replace("CASE surface", "CASE t.surface")} AS label
+  FROM toks t JOIN counts c USING (doc_id)
+  WHERE t.surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), overl AS (
+  SELECT doc_id,
+         max(CASE WHEN nxt IS NOT NULL AND nxt <= e THEN 1 ELSE 0 END)
+           AS has_overlap
+  FROM (
+    SELECT doc_id, e,
+           lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+    FROM spans
+  )
+  GROUP BY doc_id
+)
+SELECT s.doc_id, s.label, s.s AS tok_start, s.e AS tok_end
+FROM spans s JOIN overl o USING (doc_id)
+WHERE o.has_overlap = 0
+"""
+
+
 # ---------------- doc-level as_type: token windows back to text documents
 
 
@@ -4299,4 +4378,6 @@ QUERIES: dict[str, tuple] = {
     "label_vocab": (q_label_vocab, LABEL_VOCAB_ORACLE),
     # spans -> BIO tags encode, overlap -> None per document
     "kg_spans_to_tags": (q_kg_spans_to_tags, SPANS_TO_TAGS_ORACLE),
+    # BIO encode -> decode inverse property (real I- continuations)
+    "kg_tags_roundtrip": (q_kg_tags_roundtrip, TAGS_ROUNDTRIP_ORACLE),
 }
