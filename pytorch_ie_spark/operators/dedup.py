@@ -245,6 +245,49 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return hashed.select("doc_id", sim.cast("int").alias("simhash"))
 
 
+def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash) — 60-bit simhash over whitespace tokens, the
+    corpus-scale fingerprint width (Manku et al. use 64; 60 here keeps
+    the value inside a signed BIGINT on BOTH engines: 15 md5 hex chars
+    parse exactly in Spark's conv and DuckDB's '0x' cast).
+
+    Formulation: explode the token hashes and compute all 60 signed
+    bitsums as plain aggregates in ONE groupBy pass — whole-stage codegen
+    with map-side partial aggregation. The HOF alternatives measured
+    slower here: a 60-counter array accumulator copies the array per
+    token (5.5 s warm at sf0.1), 60 size(filter(...)) passes evaluate
+    interpreted (3.0 s); this shape runs the same data in ~1 s and is
+    the one that scales (the shuffle carries one 60-column row per doc)."""
+    ex = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("tok"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    sums = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(60)
+        ]
+    )
+    sim = None
+    for b in range(60):
+        term = F.when(
+            F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -252,6 +295,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     max_bucket: int | None = None,
+    sig_bits: int = 16,
 ) -> DataFrame:
     """Banded SimHash near-duplicate pairs (the Manku et al. WWW'07
     rotation/banding scheme): any pair within hamming distance
@@ -263,15 +307,25 @@ def simhash_near_dup_pairs(
 
     Scale shape mirrors minhash_lsh_pairs: only (doc_id, band, simhash)
     rides the bucket shuffle; `max_bucket` caps degenerate buckets inside
-    the same shuffle (None = exact, the oracle-gated default)."""
+    the same shuffle (None = exact, the oracle-gated default).
+
+    `sig_bits` picks the fingerprint width: 16 (simhash16 — compact, but
+    per-band bucket cardinality 2^(16/n_bands) goes quadratic at corpus
+    scale) or 60 (simhash60 — the production width; 15-bit bands give
+    32k bucket values per band)."""
     if max_hamming >= n_bands:
         raise ValueError(
             f"max_hamming={max_hamming} needs n_bands>{max_hamming} for "
             "pigeonhole-exact banding"
         )
-    band_bits = 16 // n_bands
+    if sig_bits not in (16, 60):
+        raise ValueError("sig_bits must be 16 or 60")
+    band_bits = sig_bits // n_bands
     mask = (1 << band_bits) - 1
-    s = simhash16(df, id_col, text_col)
+    sig_fn = simhash60 if sig_bits == 60 else simhash16
+    # both sides of the band self-join reference the signature table —
+    # pin it once or the whole hash+bitsum pass runs per side
+    s = sig_fn(df, id_col, text_col).localCheckpoint(eager=False)
     bands = s.select(
         "doc_id",
         "simhash",

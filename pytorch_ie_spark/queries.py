@@ -639,6 +639,51 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """
 
 
+def q_dedup_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width SimHash near-dups: 60-bit fingerprint, 4 bands of
+    15 bits (32k bucket values per band — the corpus-scale regime where
+    the 16-bit variant's 256-value buckets would go quadratic), hamming
+    <= 3 with exact popcount verify."""
+    from .operators.dedup import simhash_near_dup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=3, n_bands=4, sig_bits=60
+    )
+
+
+SIMHASH60_PAIRS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')
+           AS tk
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_transform(tk, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)
+           AS hs
+  FROM toks
+), sims AS (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(0, 59), b ->
+      CASE WHEN list_sum(list_transform(hs, x ->
+                  CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+  FROM hashed
+), bands AS (
+  SELECT doc_id, simhash, b AS band_idx,
+         (simhash >> (b * 15)) & 32767 AS band_val
+  FROM sims, unnest(generate_series(0, 3)) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
@@ -4295,6 +4340,10 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, MINHASH_PAIRS_ORACLE),
     "dedup_simhash": (q_dedup_simhash, SIMHASH_ORACLE),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SIMHASH_PAIRS_ORACLE),
+    "dedup_simhash60_pairs": (
+        q_dedup_simhash60_pairs,
+        SIMHASH60_PAIRS_ORACLE,
+    ),
     "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
     # similarity

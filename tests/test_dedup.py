@@ -173,3 +173,35 @@ def test_simhash_banding_rejects_incomplete_coverage():
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dup_pairs(None, "doc_id", "text", max_hamming=2, n_bands=2)
+
+
+def test_simhash60_banding_is_exact(spark):
+    """60-bit variant: banded result == brute force at hamming<=3."""
+    from itertools import combinations
+
+    from pytorch_ie_spark.operators.dedup import (
+        simhash60,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"shared body text w{i % 5} tail {i % 2}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    sims = {r["doc_id"]: r["simhash"] for r in simhash60(docs, "doc_id", "text").collect()}
+    assert all(0 <= s < 2**60 for s in sims.values())
+    brute = sorted(
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for a, b in combinations(sorted(sims), 2)
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    )
+    banded = sorted(
+        map(
+            tuple,
+            simhash_near_dup_pairs(
+                docs, "doc_id", "text", max_hamming=3, n_bands=4, sig_bits=60
+            ).collect(),
+        )
+    )
+    assert banded == brute
+    assert len(brute) > 0
