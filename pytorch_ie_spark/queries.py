@@ -767,6 +767,63 @@ FROM comp GROUP BY component
 """
 
 
+def q_dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-based near-dup clustering: 60-bit banded pairs ->
+    connected components -> one keep_id per cluster. Same composition as
+    dedup_clusters but over the fingerprint family — the two dedup
+    signals a pipeline typically runs side by side."""
+    from .operators.dedup import simhash_near_dup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=3, n_bands=4, sig_bits=60
+    )
+    edges = pairs.select(
+        F.col("src_id").cast("string").alias("src"),
+        F.col("dst_id").cast("string").alias("dst"),
+    )
+    comps = connected_components(edges)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.min(F.col("node").cast("long")).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        )
+        .select("keep_id", "cluster_size")
+    )
+
+
+def _simhash_clusters_oracle() -> str:
+    # reuse the 60-bit pair CTEs verbatim, then the same recursive CC
+    body = SIMHASH60_PAIRS_ORACLE.strip()
+    assert body.startswith("WITH ")
+    ctes = body[len("WITH "):body.index(")\nSELECT DISTINCT")] + ")"
+    return f"""
+WITH RECURSIVE {ctes},
+sh_pairs AS (
+  SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+edges AS (
+  SELECT CAST(src_id AS VARCHAR) AS src, CAST(dst_id AS VARCHAR) AS dst
+  FROM sh_pairs
+),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, und.dst FROM reach JOIN und ON reach.r = und.src
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT min(node::BIGINT)::BIGINT AS keep_id, count(*)::BIGINT AS cluster_size
+FROM comp GROUP BY component
+"""
+
+
 # -------------------------------------------------------------- similarity
 
 ANN_QUERY_IDS = list(range(10))
@@ -4343,6 +4400,10 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash60_pairs": (
         q_dedup_simhash60_pairs,
         SIMHASH60_PAIRS_ORACLE,
+    ),
+    "dedup_simhash_clusters": (
+        q_dedup_simhash_clusters,
+        _simhash_clusters_oracle(),
     ),
     "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
