@@ -23,8 +23,12 @@ observable via lineage counts, not silent.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 from ..functions.hashing import MINHASH_AB, MINHASH_PRIME
 
@@ -139,21 +143,15 @@ def link_entities(
     return m.join(F.broadcast(aliases), "_norm", "left").drop("_norm")
 
 
-def lsh_candidate_edges(
+def _surface_band_stack(
     surfaces: DataFrame,
-    surface_col: str = "surface_norm",
-    shingle_k: int = 3,
-    num_hashes: int = 16,
-    band_size: int = 4,
-    jaccard_threshold: float = 0.5,
-    max_bucket: int | None = None,
-) -> DataFrame:
-    """surfaces: distinct rows with `surface_col`. Returns verified candidate
-    edges (src, dst, jaccard) with src < dst.
-
-    `max_bucket=None` (default) is exact. At corpus scale pass a cap: band
-    buckets above it are dropped before the self-join (quadratic otherwise);
-    the cap is a window count inside the self-join's own band_key shuffle."""
+    surface_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    band_size: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(base, stacked): distinct non-empty surfaces with shingles, plus the
+    exploded (node, band_key) MinHash band stack they hash into."""
     base = (
         surfaces.select(F.col(surface_col).alias("node"))
         .where(F.length("node") > 0)
@@ -182,6 +180,49 @@ def lsh_candidate_edges(
             F.array(*[F.col(f"band{i}") for i in range(n_bands)])
         ).alias("band_key"),
     ).localCheckpoint(eager=False)
+    return base, stacked
+
+
+def lsh_dropped_surface_buckets(
+    surfaces: DataFrame,
+    surface_col: str = "surface_norm",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(band_key, bucket_size) of the band buckets `lsh_candidate_edges`
+    drops under the same parameters — the surface-canonicalization twin of
+    dedup.lsh_dropped_buckets, so the `max_bucket` approximation is
+    auditable at runtime rather than only by a rerun diagnostic."""
+    _, stacked = _surface_band_stack(
+        surfaces, surface_col, shingle_k, num_hashes, band_size
+    )
+    return (
+        stacked.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket)
+    )
+
+
+def lsh_candidate_edges(
+    surfaces: DataFrame,
+    surface_col: str = "surface_norm",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """surfaces: distinct rows with `surface_col`. Returns verified candidate
+    edges (src, dst, jaccard) with src < dst.
+
+    `max_bucket=None` (default) is exact. At corpus scale pass a cap: band
+    buckets above it are dropped before the self-join (quadratic otherwise);
+    the cap is a window count inside the self-join's own band_key shuffle."""
+    base, stacked = _surface_band_stack(
+        surfaces, surface_col, shingle_k, num_hashes, band_size
+    )
     if max_bucket is not None:
         # cap pathological buckets to avoid quadratic blowup on degenerate
         # keys — window count over band_key rides the self-join's shuffle
@@ -352,12 +393,30 @@ def canonicalize_mentions(
     This is a corpus-scale entry point, so the LSH quadratic-bucket guard is
     ON by default (`max_bucket=1000`: one degenerate band key otherwise makes
     the candidate self-join O(n^2)); pass None for the exact variant the
-    oracle-gated dedup queries use. Dropped buckets are auditable via
-    dedup.band_bucket_sizes.
+    oracle-gated dedup queries use. When the cap engages, the dropped-bucket
+    count is logged at WARNING (one tiny aggregate job over the distinct
+    surfaces) so the approximation is observable at runtime; the full audit
+    table is `lsh_dropped_surface_buckets`.
     """
     surfaces = mentions.select(
         normalize_surface(F.col("surface")).alias("surface_norm")
     ).dropDuplicates(["surface_norm"])
+    if max_bucket is not None:
+        dropped = lsh_dropped_surface_buckets(
+            surfaces, "surface_norm", shingle_k=shingle_k,
+            max_bucket=max_bucket,
+        ).agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("n_rows"),
+        ).first()
+        if dropped["n_buckets"]:
+            logger.warning(
+                "canonicalize_mentions: max_bucket=%d dropped %d band "
+                "bucket(s) covering %d surface-band rows — entity-id "
+                "assignment is approximate for those surfaces "
+                "(lsh_dropped_surface_buckets has the audit table)",
+                max_bucket, dropped["n_buckets"], dropped["n_rows"],
+            )
     edges = lsh_candidate_edges(
         surfaces, "surface_norm", shingle_k=shingle_k,
         jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,

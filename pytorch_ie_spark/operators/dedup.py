@@ -297,8 +297,12 @@ def simhash_near_dup_pairs(
     max_bucket: int | None = None,
     sig_bits: int = 16,
 ) -> DataFrame:
-    """Banded SimHash near-duplicate pairs (the Manku et al. WWW'07
-    rotation/banding scheme): any pair within hamming distance
+    """Banded SimHash near-duplicate pairs. Corpus-scale callers should
+    use `sig_bits=60` (the production fingerprint width; the 16-bit
+    default keeps the compact demo/oracle regime where per-band bucket
+    cardinality is tiny).
+
+    Scheme (Manku et al. WWW'07 rotation/banding): any pair within hamming distance
     d < n_bands must agree EXACTLY on at least one of the n_bands
     bit-bands (pigeonhole), so a bucket self-join per band finds every
     such pair with no all-pairs comparison; candidates are then verified

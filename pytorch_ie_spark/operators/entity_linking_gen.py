@@ -56,12 +56,6 @@ ENTITY_KB = [
     "supplier",
 ]
 
-LINKING_SCHEMA = (
-    "doc_id long, start long, surface string, entity string, gen_score long"
-)  # reference shape; link_entities_generative derives the actual schema
-#    from its input so string doc ids (pipeline) work like long ones (bench)
-
-
 class EntityTrie:
     """Prefix trie over tokenized entity names. `allowed(prefix)` is the
     reference's prefix_allowed_tokens_fn: trie children of the prefix, plus

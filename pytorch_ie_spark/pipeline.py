@@ -80,6 +80,13 @@ def run_kg_pipeline(
     """Returns the triples DataFrame; materializes per-stage snapshots +
     lineage when ckpt_dir is given."""
     cfg = config or KgPipelineConfig()
+    if cfg.linker not in ("lsh", "generative"):
+        # a typo ('genre', 'generativ') would otherwise silently fall
+        # through to the LSH canonicalization path
+        raise ValueError(
+            f"KgPipelineConfig.linker must be 'lsh' or 'generative', "
+            f"got {cfg.linker!r}"
+        )
 
     def stage(name: str, build, partition_cols=None) -> DataFrame:
         if ckpt_dir:

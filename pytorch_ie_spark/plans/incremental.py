@@ -183,10 +183,18 @@ def ingest_increment(
     triples.write.mode("append").partitionBy("run_id", "pred").parquet(
         _triples_path(out_dir)
     )
-    # count the increment from what was actually written for THIS run
-    n_triples = (
-        _raw_triples(spark, out_dir).where(F.col("run_id") == run_id).count()
-    )
+    # count the increment from what was actually written for THIS run —
+    # reading only this run's partition directory, NOT _raw_triples: inside
+    # stream_kg_triples_committed's foreachBatch the latter would re-list
+    # the whole output dir every micro-batch, scaling with total accumulated
+    # runs rather than batch size
+    run_dir = os.path.join(_triples_path(out_dir), f"run_id={run_id}")
+    fs, run_hpath = _hadoop_fs(spark, run_dir)
+    if fs.exists(run_hpath):
+        n_triples = spark.read.parquet(run_dir).count()
+    else:
+        # an all-empty increment: partitionBy writes no directory at all
+        n_triples = 0
     # phase 2 (commit point): markers carry the run_id that validates the data
     (
         pending.select(_unit_key_col().alias("unit_key"))

@@ -4303,9 +4303,12 @@ def _entity_linking_gen_oracle() -> str:
     # a longer KB name would decode fine in Spark but silently truncate in
     # the oracle's final CASE — fail loudly at registration instead
     too_long = [n for n in ENTITY_KB if len(n.split(" ")) > 3]
-    assert not too_long, (
-        f"oracle unroll depth is 3 tokens; regenerate it for {too_long}"
-    )
+    if too_long:
+        # not an assert: under `python -O` an assert is stripped and a
+        # 4-token KB name would silently truncate the final CASE
+        raise ValueError(
+            f"oracle unroll depth is 3 tokens; regenerate it for {too_long}"
+        )
     edges_values = ",\n    ".join(
         f"('{p}', '{n}')" for p, n in trie_edges(ENTITY_KB)
     )

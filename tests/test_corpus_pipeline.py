@@ -253,3 +253,9 @@ def test_pipeline_generative_linker(spark):
         for r in rows
     )
     assert key(gen) == key(lsh)
+
+
+def test_pipeline_rejects_unknown_linker():
+    # validation fires before any Spark work, so no session is needed
+    with pytest.raises(ValueError, match="linker"):
+        run_kg_pipeline(None, None, KgPipelineConfig(linker="genre"))
