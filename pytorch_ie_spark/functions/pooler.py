@@ -61,15 +61,44 @@ def _span_slice(vecs, start, length):
     return F.slice(vecs, (start + 1).cast("int"), length.cast("int"))
 
 
-def pool_span_max_col(vecs, start, length):
-    """SpanMaxPooler: elementwise max over the span's states."""
+def pool_span_max_vec(vecs, start, length):
+    """SpanMaxPooler as a raw array<long> (elementwise max over the span's
+    states) — the numeric form downstream similarity heads consume."""
     sl = _span_slice(vecs, start, length)
-    folded = F.aggregate(
+    return F.aggregate(
         F.slice(sl, 2, F.greatest(F.size(sl) - 1, F.lit(0))),
         F.element_at(sl, 1),
         lambda acc, v: F.zip_with(acc, v, lambda a, b: F.greatest(a, b)),
     )
-    return _join(folded)
+
+
+def pool_span_max_col(vecs, start, length):
+    """SpanMaxPooler: elementwise max over the span's states."""
+    return _join(pool_span_max_vec(vecs, start, length))
+
+
+def cosine_sim_col(a, b):
+    """Fixed-order cosine of two equal-length numeric arrays, rounded to 6
+    decimals (the SequencePairSimilarityModelWithPooler classifier head,
+    reference models/sequence_classification_with_pooler.py:315-318 —
+    torch.nn.functional.cosine_similarity over the two pooled vectors).
+
+    Integer inputs keep dot and norms exact (left-fold sums of integer
+    products); only the final sqrt/divide is floating point, so a SQL twin
+    with the same term order reproduces the value bit-for-bit. A zero-norm
+    side scores 0.0 (torch's eps-guard analog, made exact)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda v: F.aggregate(  # noqa: E731
+        F.transform(v, lambda x: x * x), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    na, nb = sq(a), sq(b)
+    return F.when(
+        (na == 0) | (nb == 0), F.lit(0.0)
+    ).otherwise(F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6))
 
 
 def pool_span_mean_col(vecs, start, length):

@@ -113,6 +113,98 @@ def coref_text_pairs(
     )
 
 
+def coref_pairs_pooler_scored(
+    documents: DataFrame,
+    mentions: DataFrame,
+    context_tokens: int = 2,
+    threshold: float = 0.9,
+    pooler: str = "max",
+) -> DataFrame:
+    """The `scorer="pooler"` coref variant: span-pair similarity through the
+    pooler/model seam instead of context-shingle Jaccard.
+
+    Reference analog: SequencePairSimilarityModelWithPooler
+    (models/sequence_classification_with_pooler.py:290-360) — both texts are
+    encoded independently, a mention pooler (default: max pooling over the
+    span token states, models/components/pooler.py SpanMaxPooler) produces
+    one vector per span, and the classifier head is
+    torch.nn.functional.cosine_similarity over the two pooled vectors; pairs
+    above `label_threshold` are coreferent.
+
+    Spark-first shape: the per-token "hidden states" are the deterministic
+    md5-mock vectors from functions/pooler.py (real encoder states drop into
+    the same array<float> column via mapInPandas); because the mock states
+    are context-free, the pooled span is widened by `context_tokens` on each
+    side so the pooled representation carries document context the way a
+    transformer's contextualized span states would. Everything is JVM
+    expressions — pairing is the same blocked (never cross) self-join as
+    coref_text_pairs, scoring is fixed-order integer arithmetic + one
+    sqrt/divide, so DuckDB reproduces every score bit-for-bit.
+
+    documents: (doc_id, text); mentions: (doc_id, tok_start, tok_end, block)
+    with token offsets, tok_end exclusive. Returns one row per
+    (doc_id < doc_id_pair) same-block pair:
+      (block, doc_id, tok_start, doc_id_pair, tok_start_pair, score,
+       is_similar)
+    """
+    from ..functions.pooler import (
+        cosine_sim_col,
+        pool_span_max_vec,
+        token_state_vecs,
+    )
+
+    if pooler != "max":
+        raise ValueError(f"unknown pooler {pooler!r}; only 'max' (mention_pooling)")
+    m = mentions.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.col("tok_end").cast("long").alias("tok_end"),
+        F.col("block"),
+    )
+    firsts = m.groupBy("doc_id", "block").agg(
+        F.min(F.struct("tok_start", "tok_end")).alias("m")
+    ).select(
+        "doc_id", "block",
+        F.col("m.tok_start").alias("tok_start"),
+        F.col("m.tok_end").alias("tok_end"),
+    )
+    docs = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_state_vecs(F.split("text", " ")).alias("vecs"),
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    span_s = F.greatest(F.col("tok_start") - context_tokens, F.lit(0))
+    span_e = F.least(F.col("tok_end") + context_tokens, F.col("n_toks"))
+    sided = firsts.join(docs, "doc_id").select(
+        "block",
+        "doc_id",
+        "tok_start",
+        pool_span_max_vec(F.col("vecs"), span_s, span_e - span_s).alias(
+            "pooled"
+        ),
+    )
+    b = sided.select(
+        F.col("block").alias("block2"),
+        F.col("doc_id").alias("doc_id_pair"),
+        F.col("tok_start").alias("tok_start_pair"),
+        F.col("pooled").alias("pooled_pair"),
+    )
+    pairs = sided.join(
+        b,
+        (sided.block == b.block2) & (F.col("doc_id") < F.col("doc_id_pair")),
+    )
+    score = cosine_sim_col(F.col("pooled"), F.col("pooled_pair"))
+    return pairs.select(
+        "block",
+        "doc_id",
+        "tok_start",
+        "doc_id_pair",
+        "tok_start_pair",
+        score.alias("score"),
+        (score >= threshold).alias("is_similar"),
+    )
+
+
 def coref_skipped_spans(
     mentions: DataFrame, max_window: int = 32
 ) -> DataFrame:
