@@ -3002,6 +3002,98 @@ FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
 """
 
 
+# --------------------------- coref scored through the pooler/model seam
+
+COREF_POOLER_CTX = 2  # tokens of context widening each side of the span
+COREF_POOLER_THRESHOLD = 0.9
+
+
+def q_kg_coref_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-pair similarity coref through the pooler/model seam (reference
+    SequencePairSimilarityModelWithPooler,
+    models/sequence_classification_with_pooler.py:290-360, exercised by
+    tests/models/test_sequence_pair_similarity_model_with_pooler.py): both
+    sides' per-token hidden states are pooled over the mention span
+    (SpanMaxPooler / mention_pooling, the model's default) and the
+    classifier head is cosine similarity of the two pooled vectors with a
+    threshold decision — here over md5-mock states with fixed-order
+    arithmetic so every score has a DuckDB twin. Same blocked pairing as
+    kg_coref_pairs; this is the `scorer="pooler"` alternative to its
+    shingle-Jaccard head."""
+    from .operators.coref import coref_pairs_pooler_scored
+    from .operators.re_encoding import token_mentions
+    from .plans.skew import ensure_parallelism
+
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).where(
+        F.col("doc_id") % COREF_DOC_MOD == 0
+    )
+    m = token_mentions(docs, list(GAZETTEER)).select(
+        "doc_id",
+        F.col("tok_idx").alias("tok_start"),
+        (F.col("tok_idx") + 1).alias("tok_end"),
+        F.col("surface").alias("block"),
+    )
+    return coref_pairs_pooler_scored(
+        docs,
+        m,
+        context_tokens=COREF_POOLER_CTX,
+        threshold=COREF_POOLER_THRESHOLD,
+    )
+
+
+COREF_SCORED_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    len(string_split(text,' '))::BIGINT AS n,
+    list_transform(string_split(text,' '), t -> [
+      ('0x' || substr(md5(t), 1, 8))::BIGINT % 1000,
+      ('0x' || substr(md5(t), 9, 8))::BIGINT % 1000,
+      ('0x' || substr(md5(t), 17, 8))::BIGINT % 1000,
+      ('0x' || substr(md5(t), 25, 8))::BIGINT % 1000
+    ]) AS vs
+  FROM documents WHERE doc_id % {COREF_DOC_MOD} = 0
+), toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(text,' ')) AS surface,
+         (generate_subscripts(string_split(text,' '), 1) - 1)::BIGINT AS tok_idx
+  FROM documents WHERE doc_id % {COREF_DOC_MOD} = 0
+), ments AS (
+  -- first mention per (doc, surface): the pair builder's dedup
+  SELECT doc_id, surface AS block, min(tok_idx) AS tok_start
+  FROM toks WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+  GROUP BY doc_id, surface
+), pooled AS (
+  SELECT m.doc_id, m.block, m.tok_start,
+    list_reduce(
+      d.vs[(greatest(m.tok_start - {COREF_POOLER_CTX}, 0) + 1)::BIGINT
+           : (least(m.tok_start + 1 + {COREF_POOLER_CTX}, d.n))::BIGINT],
+      (acc, v) -> [greatest(acc[1], v[1]), greatest(acc[2], v[2]),
+                   greatest(acc[3], v[3]), greatest(acc[4], v[4])]
+    ) AS p
+  FROM ments m JOIN docs d USING (doc_id)
+), pairs AS (
+  SELECT a.block, a.doc_id, a.tok_start,
+         b.doc_id AS doc_id_pair, b.tok_start AS tok_start_pair,
+         (a.p[1]*b.p[1] + a.p[2]*b.p[2] + a.p[3]*b.p[3] + a.p[4]*b.p[4])
+           AS dot,
+         (a.p[1]*a.p[1] + a.p[2]*a.p[2] + a.p[3]*a.p[3] + a.p[4]*a.p[4])
+           AS na,
+         (b.p[1]*b.p[1] + b.p[2]*b.p[2] + b.p[3]*b.p[3] + b.p[4]*b.p[4])
+           AS nb
+  FROM pooled a JOIN pooled b
+    ON a.block = b.block AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT block, doc_id, tok_start, doc_id_pair, tok_start_pair,
+         CASE WHEN na = 0 OR nb = 0 THEN 0.0
+              ELSE round(dot / (sqrt(na) * sqrt(nb)), 6) END AS score
+  FROM pairs
+)
+SELECT block, doc_id, tok_start, doc_id_pair, tok_start_pair, score,
+       score >= {COREF_POOLER_THRESHOLD} AS is_similar
+FROM scored
+"""
+
+
 # ------------------------------------------------------- pointer-net codec
 
 POINTER_VOCAB = None  # built lazily (import cost) in q_kg_pointer_roundtrip
@@ -3386,6 +3478,116 @@ SELECT doc_id, n_src_tokens,
   round(len(list_intersect(list_distinct(target), list_distinct(rest)))
         / len(list_distinct(target))::DOUBLE, 6) AS rouge1_recallish
 FROM parts
+"""
+
+
+# ------------------------------- guided text-to-text (generative QA shape)
+
+
+def q_text2text_guided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guided text-to-text taskmodule (reference text_to_text.py:75-135
+    guidance args; encode_input fan-out + source_text prepend :311-341;
+    first-matching-target selection :216-241; decode attaches the guidance
+    annotation :262-283 — test_text2text_with_guidance.py): questions are
+    synthesized per gazetteer surface in the document, answers are the
+    4 tokens after the surface's first occurrence (none for OP-labeled
+    surfaces — the reference's zero-target ValueError path, observable as
+    has_target=false), and ENGINE-labeled surfaces get a SECOND candidate
+    answer so first-by-order selection is exercised for real."""
+    from .operators.re_encoding import token_mentions
+    from .operators.text2text import guided_text2text
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    occ = (
+        token_mentions(docs, list(GAZETTEER))
+        .groupBy("doc_id", "surface")
+        .agg(F.min("tok_idx").alias("occ"))
+    )
+    question = F.concat_ws(" ", F.lit("what is"), F.col("surface"), F.lit("?"))
+    guidance = occ.select("doc_id", question.alias("guidance_text"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    occ_t = occ.join(toks, "doc_id")
+    label = _gaz_label_col(F.col("surface"))
+    answers = occ_t.where(label != "OP").select(
+        "doc_id",
+        question.alias("guidance_text"),
+        F.col("occ").alias("target_idx"),
+        F.concat_ws(
+            " ", F.slice("toks", (F.col("occ") + 2).cast("int"), 4)
+        ).alias("target_text"),
+    )
+    alts = occ_t.where(label == "ENGINE").select(
+        "doc_id",
+        question.alias("guidance_text"),
+        F.lit(1).cast("long").alias("target_idx"),
+        F.concat(
+            F.lit("alt: "), F.concat_ws(" ", F.slice("toks", 1, 2))
+        ).alias("target_text"),
+    )
+    return guided_text2text(docs, guidance, answers.unionByName(alts))
+
+
+TEXT2TEXT_GUIDED_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id::BIGINT AS doc_id, text, string_split(text, ' ') AS toks
+  FROM documents
+), tk AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(text, ' ')) AS surface,
+         (generate_subscripts(string_split(text, ' '), 1) - 1)::BIGINT
+           AS tok_idx
+  FROM documents
+), quest AS (
+  SELECT doc_id, surface, min(tok_idx) AS occ,
+         'what is ' || surface || ' ?' AS guidance_text
+  FROM tk WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+  GROUP BY doc_id, surface
+), enc AS (
+  SELECT q.doc_id, q.guidance_text,
+    array_to_string(
+      (string_split(q.guidance_text || ' ' || d.text, ' '))[1:8], ' ')
+      AS input_lead,
+    len(string_split(q.guidance_text || ' ' || d.text, ' '))::BIGINT
+      AS n_src_tokens
+  FROM quest q JOIN docs d USING (doc_id)
+), answers AS (
+  SELECT q.doc_id, q.guidance_text, q.occ AS target_idx,
+    -- coalesce: array_to_string([]) is NULL in DuckDB, '' in concat_ws
+    coalesce(array_to_string(
+      d.toks[(q.occ + 2)::BIGINT : (q.occ + 5)::BIGINT], ' '), '')
+      AS target_text
+  FROM quest q JOIN docs d USING (doc_id)
+  WHERE ({_gaz_case_sql().replace("CASE surface", "CASE q.surface")}) != 'OP'
+), alts AS (
+  SELECT q.doc_id, q.guidance_text, 1::BIGINT AS target_idx,
+    'alt: ' || array_to_string(d.toks[1:2], ' ') AS target_text
+  FROM quest q JOIN docs d USING (doc_id)
+  WHERE ({_gaz_case_sql().replace("CASE surface", "CASE q.surface")})
+        = 'ENGINE'
+), targets AS (
+  SELECT * FROM answers UNION ALL SELECT * FROM alts
+), tsel AS (
+  SELECT doc_id, guidance_text, target_text, n_targets FROM (
+    SELECT doc_id, guidance_text, target_text,
+      count(*) OVER (PARTITION BY doc_id, guidance_text)::BIGINT
+        AS n_targets,
+      row_number() OVER (PARTITION BY doc_id, guidance_text
+                         ORDER BY target_idx, target_text) AS rn
+    FROM targets
+  ) WHERE rn = 1
+)
+SELECT e.doc_id, e.guidance_text, e.input_lead, e.n_src_tokens,
+  coalesce(t.n_targets, 0)::BIGINT AS n_targets,
+  t.n_targets IS NOT NULL AS has_target,
+  t.target_text,
+  CASE WHEN t.n_targets IS NOT NULL THEN
+    array_to_string((string_split(t.target_text, ' '))[1:4], ' ')
+  END AS gen_text,
+  CASE WHEN t.n_targets IS NOT NULL THEN e.guidance_text
+  END AS attached_guidance
+FROM enc e LEFT JOIN tsel t USING (doc_id, guidance_text)
 """
 
 
@@ -4175,6 +4377,228 @@ WHERE o.has_overlap = 0
 """
 
 
+# --------------------------- int BIO encode (taskmodule target encoding)
+
+
+def q_kg_bio_int_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer BIO target encoding under the oracle gate (reference
+    re_text_classification_with_indices.py:279-290: O=0, B-label=2*id+1,
+    I-label=2*id+2 over the label vocabulary) — the real
+    functions/span.bio_encode_int run per document inside mapInPandas over
+    the non-overlapping 2-token gazetteer spans, label ids from the sorted
+    label vocabulary; the oracle rebuilds the same arithmetic in SQL."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .functions.span import bio_encode_int, spans_to_bio_tags
+    from .plans.skew import ensure_parallelism
+
+    label_to_id = {
+        lab: i for i, lab in enumerate(sorted(set(GAZETTEER.values())))
+    }
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = (text or "").split(" ")
+                n = len(toks)
+                spans = [
+                    (GAZETTEER[t], (i, min(i + 1, n - 1)))
+                    for i, t in enumerate(toks)
+                    if t in GAZETTEER
+                ]
+                if spans_to_bio_tags(spans, n) is None:
+                    continue  # overlap: int encoding would overwrite
+                    # earlier spans in input order — excluded like the
+                    # string-tag queries (gated in kg_spans_to_tags)
+                enc = bio_encode_int(spans, n, label_to_id)
+                rows.append((doc_id, n, "|".join(str(v) for v in enc)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_tokens", "int_tags"]
+            )
+
+    return docs.mapInPandas(
+        stage, "doc_id long, n_tokens long, int_tags string"
+    )
+
+
+def _bio_int_label_id_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lab}' THEN {i}"
+        for i, lab in enumerate(sorted(set(GAZETTEER.values())))
+    )
+    return f"CASE s.label {whens} END"
+
+
+BIO_INT_TAGS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(text, ' ')) AS surface,
+         (generate_subscripts(string_split(text, ' '), 1) - 1)::BIGINT AS pos
+  FROM documents
+), counts AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY doc_id
+), spans AS (
+  SELECT t.doc_id, t.pos AS s,
+         least(t.pos + 1, c.n - 1)::BIGINT AS e,
+         {_gaz_case_sql().replace("CASE surface", "CASE t.surface")} AS label
+  FROM toks t JOIN counts c USING (doc_id)
+  WHERE t.surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), overl AS (
+  SELECT doc_id,
+         max(CASE WHEN nxt IS NOT NULL AND nxt <= e THEN 1 ELSE 0 END)
+           AS has_overlap
+  FROM (
+    SELECT doc_id, e,
+           lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+    FROM spans
+  )
+  GROUP BY doc_id
+), tagged AS (
+  SELECT t.doc_id, t.pos,
+    CASE WHEN s.s IS NULL THEN 0
+         WHEN t.pos = s.s THEN ({_bio_int_label_id_sql()}) * 2 + 1
+         ELSE ({_bio_int_label_id_sql()}) * 2 + 2 END AS tag
+  FROM toks t LEFT JOIN spans s
+    ON s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e
+), tagstr AS (
+  SELECT doc_id, string_agg(tag::VARCHAR, '|' ORDER BY pos) AS int_tags
+  FROM tagged GROUP BY doc_id
+)
+SELECT c.doc_id, c.n AS n_tokens, ts.int_tags
+FROM counts c
+JOIN tagstr ts USING (doc_id)
+LEFT JOIN overl o USING (doc_id)
+WHERE coalesce(o.has_overlap, 0) = 0
+"""
+
+
+# --------------------------- strict IOB2 decode (raise-on-ill-formed)
+
+
+def q_kg_iob2_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT IOB2 decode under the oracle gate (the external
+    tag_sequence_to_token_spans contract the reference delegates to: every
+    span opens with B-; an I- that does not continue an open span of the
+    same label raises InvalidTagSequence): per document, a deterministic
+    tag sequence with REAL ill-formed cases (gazetteer tokens open B-
+    spans; the corpus's continuation token 'dup' emits I-ALGO, which is a
+    legal continuation after 'hash'/'merge'/'sort' B-ALGO spans but a
+    dangling or label-mismatched I- everywhere else), decoded by the real
+    functions/span.iob2_tags_to_spans — the raise surfaced as valid=false
+    with null spans, mirroring how kg_spans_to_tags made overlap->None
+    observable."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .functions.span import InvalidTagSequence, iob2_tags_to_spans
+    from .plans.skew import ensure_parallelism
+
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+    def tag_of(tok: str) -> str:
+        if tok in GAZETTEER:
+            return "B-" + GAZETTEER[tok]
+        if tok == "dup":
+            return "I-ALGO"
+        return "O"
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = (text or "").split(" ")
+                tags = [tag_of(t) for t in toks]
+                try:
+                    spans = iob2_tags_to_spans(tags)
+                    rows.append(
+                        (
+                            doc_id,
+                            len(toks),
+                            True,
+                            len(spans),
+                            ";".join(
+                                f"{lab}:{s}-{e}" for lab, (s, e) in spans
+                            ),
+                        )
+                    )
+                except InvalidTagSequence:
+                    rows.append((doc_id, len(toks), False, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_tokens", "valid", "n_spans", "spans"],
+            )
+
+    return docs.mapInPandas(
+        stage,
+        "doc_id long, n_tokens long, valid boolean, n_spans long, "
+        "spans string",
+    )
+
+
+IOB2_STRICT_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(text, ' ')) AS surface,
+         (generate_subscripts(string_split(text, ' '), 1) - 1)::BIGINT AS pos
+  FROM documents
+), tags AS (
+  SELECT doc_id, pos,
+    CASE WHEN surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+           THEN 'B-' || ({_gaz_case_sql()})
+         WHEN surface = 'dup' THEN 'I-ALGO'
+         ELSE 'O' END AS tag
+  FROM tk
+), lagged AS (
+  SELECT doc_id, pos, tag,
+         lag(tag) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tags
+), validity AS (
+  -- an I- is locally valid iff the previous tag opens/continues the same
+  -- label; local validity everywhere == the sequential decoder not raising
+  SELECT doc_id,
+    bool_and(NOT (
+      tag LIKE 'I-%' AND (
+        prev IS NULL
+        OR prev NOT IN ('B-' || substr(tag, 3), 'I-' || substr(tag, 3))
+      )
+    )) AS valid
+  FROM lagged GROUP BY doc_id
+), counts AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM tk GROUP BY doc_id
+), isl AS (
+  -- valid docs only: every span is a B- island with its I- continuations
+  SELECT l.doc_id, l.pos, l.tag,
+    sum(CASE WHEN l.tag LIKE 'B-%' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY l.doc_id ORDER BY l.pos) AS gid
+  FROM lagged l JOIN validity v USING (doc_id)
+  WHERE v.valid AND l.tag != 'O'
+), sp AS (
+  SELECT doc_id, gid, min(substr(tag, 3)) AS label,
+         min(pos)::BIGINT AS s, max(pos)::BIGINT AS e
+  FROM isl GROUP BY doc_id, gid
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans,
+         string_agg(label || ':' || s || '-' || e, ';' ORDER BY s) AS spans
+  FROM sp GROUP BY doc_id
+)
+SELECT c.doc_id, c.n AS n_tokens, v.valid,
+       CASE WHEN v.valid THEN coalesce(a.n_spans, 0) END AS n_spans,
+       CASE WHEN v.valid THEN coalesce(a.spans, '') END AS spans
+FROM counts c
+JOIN validity v USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------- doc-level as_type: token windows back to text documents
 
 
@@ -4493,4 +4917,8 @@ QUERIES: dict[str, tuple] = {
     "kg_spans_to_tags": (q_kg_spans_to_tags, SPANS_TO_TAGS_ORACLE),
     # BIO encode -> decode inverse property (real I- continuations)
     "kg_tags_roundtrip": (q_kg_tags_roundtrip, TAGS_ROUNDTRIP_ORACLE),
+    "kg_coref_scored": (q_kg_coref_scored, COREF_SCORED_ORACLE),
+    "text2text_guided": (q_text2text_guided, TEXT2TEXT_GUIDED_ORACLE),
+    "kg_bio_int_tags": (q_kg_bio_int_tags, BIO_INT_TAGS_ORACLE),
+    "kg_iob2_strict": (q_kg_iob2_strict, IOB2_STRICT_ORACLE),
 }
