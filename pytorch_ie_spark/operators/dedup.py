@@ -397,6 +397,52 @@ def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataF
     )
 
 
+def _distinct_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    block_col: str | None,
+) -> DataFrame:
+    """(doc_id, block, gram): distinct token n-grams per document."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
+        F.split(normalize_text(F.col(text_col)), " ").alias("tokens"),
+    )
+    return toks.select(
+        "doc_id",
+        "block",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("tokens") - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("tokens"), i + 1, n)),
+                )
+            )
+        ).alias("gram"),
+    )
+
+
+def ngram_dropped_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_gram_freq: int = 1000,
+) -> DataFrame:
+    """(gram, freq) of the posting lists `ngram_jaccard_pairs` excludes
+    under the same `max_gram_freq` — the inverted-index twin of
+    lsh_dropped_buckets, so capped boilerplate grams are auditable rather
+    than silently skipped."""
+    grams = _distinct_grams(df, id_col, text_col, n, None)
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") > max_gram_freq)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -418,23 +464,7 @@ def ngram_jaccard_pairs(
     a lower bound for pairs whose overlap is mostly boilerplate — the
     standard trade in web-scale near-dup mining. None = exact (default:
     correctness-gated queries stay bit-exact vs the SQL oracle)."""
-    toks = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
-        F.split(normalize_text(F.col(text_col)), " ").alias("tokens"),
-    )
-    grams = toks.select(
-        "doc_id",
-        "block",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("tokens") - n, F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("tokens"), i + 1, n)),
-                )
-            )
-        ).alias("gram"),
-    )
+    grams = _distinct_grams(df, id_col, text_col, n, block_col)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     if max_gram_freq is not None:
         freqs = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_gf"))
