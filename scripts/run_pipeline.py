@@ -44,6 +44,19 @@ def main() -> None:
     ap.add_argument("--max-distance", type=int, default=40)
     ap.add_argument("--salt-partitions", type=int, default=None)
     ap.add_argument("--no-canonicalize", action="store_true")
+    ap.add_argument(
+        "--linker",
+        default="lsh",
+        choices=["lsh", "generative"],
+        help="entity-id assignment: MinHash-LSH surface canonicalization "
+        "(default) or GENRE-style trie-constrained generative linking",
+    )
+    ap.add_argument(
+        "--classify-docs",
+        action="store_true",
+        help="also run the document-level text-classification taskmodule "
+        "and write (doc_id, label, score) next to the triples",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,16 +81,35 @@ def main() -> None:
         max_candidate_distance=args.max_distance,
         canonicalize=not args.no_canonicalize,
         salt_partitions=args.salt_partitions,
+        linker=args.linker,
     )
     t0 = time.monotonic()
     triples = run_kg_pipeline(spark, src, cfg, ckpt_dir=args.ckpt)
     write_partitioned(triples, args.output, ["pred"])
     n = spark.read.parquet(args.output).count()
+    n_doc_labels = None
+    if args.classify_docs:
+        from pytorch_ie_spark.operators.doc_classify import classify_documents
+        from pytorch_ie_spark.plans.lineage import run_stage
+        from pytorch_ie_spark.sources.readers import documents_from_source_files
+
+        # same resumable-stage contract as the pipeline stages: snapshot +
+        # per-partition lineage rows under the shared ckpt dir
+        doc_labels = run_stage(
+            spark,
+            args.ckpt,
+            "doc_labels",
+            lambda: classify_documents(documents_from_source_files(src)),
+        )
+        write_partitioned(doc_labels, args.output + "_doc_labels", ["label"])
+        n_doc_labels = doc_labels.count()
     wall = time.monotonic() - t0
     print(
         json.dumps(
             {
                 "triples": n,
+                "doc_labels": n_doc_labels,
+                "linker": args.linker,
                 "wall_s": round(wall, 2),
                 "triples_per_sec": round(n / wall, 2) if wall else None,
                 "output": args.output,
