@@ -1099,6 +1099,168 @@ FROM top t JOIN sums s USING (doc_id)
 """
 
 
+# ------------------------- corpus preparation: decontamination / tf-idf /
+# ------------------------- stratified sampling / sequence packing
+
+CONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 -> the held-out "benchmark" set
+CONTAM_N = 4
+
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.25, "zh": 0.1}
+SAMPLE_SALT = "sample-v1"
+
+PACK_BUDGET = 128
+PACK_GROUP_WIDTH = 100
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (Brown et al. 2020 app. C): per corpus
+    document, distinct token 4-gram overlap with a held-out benchmark set
+    (docs with doc_id % 97 == 0). Benchmark gram index deduplicated and
+    broadcast — the corpus side never shuffles on gram."""
+    from .operators.corpus_ops import ngram_contamination
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    bench = docs.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    return ngram_contamination(corpus, bench, n=CONTAM_N)
+
+
+TEXT_CONTAMINATION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')
+           AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(tk) - {CONTAM_N - 1}, 1)),
+      i -> array_to_string(tk[i:i+{CONTAM_N - 1}], ' ')))) AS gram
+  FROM toks
+), corpus AS (
+  SELECT * FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} != 0
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams FROM corpus GROUP BY doc_id
+), hits AS (
+  SELECT c.doc_id, count(*)::BIGINT AS n_hits
+  FROM corpus c JOIN bench b USING (gram) GROUP BY c.doc_id
+)
+SELECT s.doc_id, s.n_grams,
+  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+  round(coalesce(h.n_hits, 0) / s.n_grams::DOUBLE, 6)
+    AS contamination_frac,
+  coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed TF-IDF (sklearn smooth_idf:
+    ln((N+1)/(df+1)) + 1), ties broken by term — two keyed aggregations,
+    a broadcast df join, one per-doc top-k window."""
+    from .operators.corpus_ops import tfidf_top_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+TEXT_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),
+                ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM toks WHERE length(term) > 0 GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+    round(t.tf * (ln((n.n_docs + 1)::DOUBLE / (d.df + 1)) + 1), 6) AS score
+  FROM tf t JOIN dfq d USING (term), n
+)
+SELECT doc_id,
+  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)::BIGINT
+    AS rank,
+  term, tf, score
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def q_text_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified Bernoulli sample by language: keep iff
+    md5(doc_id|salt)'s first 8 hex digits / 2^32 fall under the stratum
+    rate — a pure function of (id, salt), independent of partitioning and
+    cluster size, so the 100 TB sample is reproducible and nested."""
+    from .operators.corpus_ops import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return stratified_sample(
+        docs, rates=SAMPLE_RATES, salt=SAMPLE_SALT
+    ).select("doc_id", "lang", "sample_u", "keep")
+
+
+_SAMPLE_RATE_CASE = " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items())
+)
+
+TEXT_SAMPLED_ORACLE = f"""
+SELECT doc_id::BIGINT AS doc_id, lang,
+  round(('0x' || substr(md5(doc_id::VARCHAR || '|' || '{SAMPLE_SALT}'),
+         1, 8))::BIGINT / 4294967296.0, 9) AS sample_u,
+  round(('0x' || substr(md5(doc_id::VARCHAR || '|' || '{SAMPLE_SALT}'),
+         1, 8))::BIGINT / 4294967296.0, 9)
+    < (CASE lang {_SAMPLE_RATE_CASE} ELSE 0.0 END) AS keep
+FROM documents
+"""
+
+
+def q_text_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing into 128-token bins
+    (the training-loader example-packing step): sequential within each
+    id-range shard by definition (running fill depends on every earlier
+    doc), parallel across shards via applyInPandas; the oracle replays
+    the same fold as a recursive CTE."""
+    from .operators.corpus_ops import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, budget_tokens=PACK_BUDGET, group_width=PACK_GROUP_WIDTH
+    )
+
+
+TEXT_PACKED_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT (doc_id // {PACK_GROUP_WIDTH})::BIGINT AS group_id,
+         doc_id::BIGINT AS doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+), seq AS (
+  SELECT *, row_number() OVER (PARTITION BY group_id ORDER BY doc_id) AS rn
+  FROM base
+), pack AS (
+  SELECT group_id, doc_id, n_tokens, rn,
+         1::BIGINT AS bin_idx, n_tokens AS bin_fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.group_id, s.doc_id, s.n_tokens, s.rn,
+    CASE WHEN p.bin_fill + s.n_tokens > {PACK_BUDGET}
+         THEN p.bin_idx + 1 ELSE p.bin_idx END,
+    CASE WHEN p.bin_fill + s.n_tokens > {PACK_BUDGET}
+         THEN s.n_tokens ELSE p.bin_fill + s.n_tokens END
+  FROM pack p JOIN seq s ON s.group_id = p.group_id AND s.rn = p.rn + 1
+)
+SELECT group_id, doc_id, n_tokens, bin_idx, bin_fill FROM pack
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language heuristic; confusion counts vs the lang column."""
     docs = read_table(spark, sf_dir, "documents")
@@ -4921,4 +5083,8 @@ QUERIES: dict[str, tuple] = {
     "text2text_guided": (q_text2text_guided, TEXT2TEXT_GUIDED_ORACLE),
     "kg_bio_int_tags": (q_kg_bio_int_tags, BIO_INT_TAGS_ORACLE),
     "kg_iob2_strict": (q_kg_iob2_strict, IOB2_STRICT_ORACLE),
+    "text_contamination": (q_text_contamination, TEXT_CONTAMINATION_ORACLE),
+    "text_tfidf": (q_text_tfidf, TEXT_TFIDF_ORACLE),
+    "text_sampled": (q_text_sampled, TEXT_SAMPLED_ORACLE),
+    "text_packed": (q_text_packed, TEXT_PACKED_ORACLE),
 }

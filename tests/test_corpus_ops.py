@@ -1,0 +1,135 @@
+"""Corpus-preparation operators: decontamination, TF-IDF, deterministic
+stratified sampling, greedy sequence packing."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pytorch_ie_spark.operators.corpus_ops import (
+    ngram_contamination,
+    pack_sequences,
+    stratified_sample,
+    tfidf_top_terms,
+)
+
+
+def test_contamination_flags_only_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words appear in here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps far away")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_contamination(
+        corpus, bench, n=4).collect()}
+    assert out[1]["contaminated"]  # shares 'the quick brown fox' etc.
+    assert out[1]["n_hits"] >= 1
+    assert not out[2]["contaminated"]
+    assert out[2]["n_hits"] == 0
+    assert out[2]["contamination_frac"] == 0.0
+
+
+def test_tfidf_scores_and_ranking(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["rank"]): r for r in tfidf_top_terms(
+        docs, k=2).collect()}
+    n = 3
+
+    def idf(df):
+        return math.log((n + 1) / (df + 1)) + 1
+
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2
+    assert out[(1, 1)]["term"] == "apple"
+    assert out[(1, 1)]["score"] == round(2 * idf(1), 6)
+    assert out[(1, 2)]["term"] == "banana"
+    assert out[(1, 2)]["score"] == round(1 * idf(2), 6)
+    # doc 2: equal scores? banana df=2, cherry df=2, both tf=1 -> tie
+    # broken by term (banana < cherry)
+    assert out[(2, 1)]["term"] == "banana"
+    assert out[(2, 2)]["term"] == "cherry"
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(500)],
+        "doc_id long, lang string",
+    )
+    low = {r["doc_id"] for r in stratified_sample(
+        docs, {"en": 0.2, "de": 0.1}).where("keep").collect()}
+    # repartitioning must not change the decision
+    low2 = {r["doc_id"] for r in stratified_sample(
+        docs.repartition(7), {"en": 0.2, "de": 0.1}).where("keep").collect()}
+    assert low == low2
+    # raising rates keeps every previously sampled doc (nested samples)
+    high = {r["doc_id"] for r in stratified_sample(
+        docs, {"en": 0.6, "de": 0.5}).where("keep").collect()}
+    assert low <= high
+    # rates are roughly honored per stratum
+    n_en = sum(1 for d in high if d % 2 == 0)
+    assert 0.4 * 250 < n_en < 0.8 * 250
+    # unknown stratum -> default_rate=0 -> dropped
+    other = spark.createDataFrame([(1, "xx")], "doc_id long, lang string")
+    assert stratified_sample(other, {"en": 1.0}).where("keep").count() == 0
+
+
+def test_pack_sequences_matches_reference_fold(spark):
+    # doc i has i*10 tokens
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(i * 10))) for i in range(1, 8)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(
+        docs, budget_tokens=64, group_width=1000).collect()}
+
+    # pure-python reference fold over ids in order
+    bin_idx, fill = 0, None
+    expect = {}
+    for i in range(1, 8):
+        n = i * 10
+        if fill is None or fill + n > 64:
+            bin_idx += 1
+            fill = n
+        else:
+            fill += n
+        expect[i] = (bin_idx, fill)
+    for i, (b, f) in expect.items():
+        assert (out[i]["bin_idx"], out[i]["bin_fill"]) == (b, f)
+    # all docs landed in one group
+    assert {r["group_id"] for r in out.values()} == {0}
+
+
+def test_pack_oversize_doc_gets_own_bin(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["x"] * 10)),
+            (2, " ".join(["y"] * 100)),  # > budget: own bin
+            (3, " ".join(["z"] * 10)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(
+        docs, budget_tokens=32, group_width=1000).collect()}
+    assert out[1]["bin_idx"] == 1
+    assert out[2]["bin_idx"] == 2 and out[2]["bin_fill"] == 100
+    assert out[3]["bin_idx"] == 3  # the oversize bin is closed
+
+
+def test_pack_groups_are_independent(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in (0, 1, 100, 101)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(
+        docs, budget_tokens=1000, group_width=100).collect()}
+    assert out[0]["group_id"] == 0 and out[100]["group_id"] == 1
+    # packing restarts per group
+    assert out[100]["bin_idx"] == 1 and out[100]["bin_fill"] == 10
+    assert out[101]["bin_fill"] == 20
