@@ -44,8 +44,12 @@ def _processed_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_processed_units")
 
 
+def _data_path(out_dir: str, data_name: str) -> str:
+    return os.path.join(out_dir, data_name)
+
+
 def _triples_path(out_dir: str) -> str:
-    return os.path.join(out_dir, "triples")
+    return _data_path(out_dir, "triples")
 
 
 def _unit_key_col():
@@ -98,12 +102,14 @@ def _marker_table(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return m.withColumn("run_id", F.coalesce("run_id", F.lit(LEGACY_RUN_ID)))
 
 
-def _raw_triples(spark: SparkSession, out_dir: str) -> DataFrame:
-    """All physical triples regardless of layout generation, with a run_id
-    column (legacy rows get run_id='legacy')."""
-    tpath = _triples_path(out_dir)
-    legacy = _legacy_triple_dirs(spark, out_dir)
-    modern = _modern_triple_dirs(spark, out_dir)
+def _raw_rows(
+    spark: SparkSession, out_dir: str, data_name: str, partition_col: str
+) -> DataFrame:
+    """All physical rows of a generic dataset regardless of layout
+    generation, with a run_id column (legacy rows get run_id='legacy')."""
+    tpath = _data_path(out_dir, data_name)
+    legacy = _glob_dirs(spark, os.path.join(tpath, f"{partition_col}=*"))
+    modern = _glob_dirs(spark, os.path.join(tpath, "run_id=*"))
     parts = []
     if modern:
         parts.append(spark.read.option("basePath", tpath).parquet(*modern))
@@ -120,6 +126,12 @@ def _raw_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _raw_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All physical triples regardless of layout generation, with a run_id
+    column (legacy rows get run_id='legacy')."""
+    return _raw_rows(spark, out_dir, "triples", "pred")
 
 
 def pending_source_files(
@@ -158,43 +170,57 @@ def ingest_increment(
     ner_model: str = "gazetteer_ner",
     re_model: str = "cooccurrence_re",
     max_distance: int = 40,
+    build_rows=None,
+    data_name: str = "triples",
+    data_partition_col: str = "pred",
 ) -> dict:
-    """Process only pending units; stage triples under a run_id, then commit
+    """Process only pending units; stage rows under a run_id, then commit
     by writing the unit markers (see module docstring for the crash story).
 
+    The two-phase machinery is dataset-generic: `build_rows` maps the
+    pending source-file rows to the dataset rows (default: the fused
+    triple extractor), staged under `<out_dir>/<data_name>/run_id=*/
+    <data_partition_col>=*`. One out_dir hosts ONE dataset — the unit
+    markers record source progress for that dataset only.
+
     Returns {'processed_units': n, 'new_triples': n} where new_triples is
-    the count of THIS increment's triples (not the on-disk total) — zeros
+    the count of THIS increment's rows (not the on-disk total) — zeros
     when the run is a no-op replay (idempotency)."""
+    if build_rows is None:
+        def build_rows(pending_src: DataFrame) -> DataFrame:
+            return fused_triples(
+                extract_triples_fused(
+                    documents_from_source_files(pending_src),
+                    ner_model=ner_model,
+                    re_model=re_model,
+                    max_distance=max_distance,
+                )
+            )
+
     pending = pending_source_files(spark, source_files, out_dir)
     n_units = pending.count()
     if n_units == 0:
         return {"processed_units": 0, "new_triples": 0}
     run_id = uuid.uuid4().hex[:16]
-    documents = documents_from_source_files(pending)
-    triples = fused_triples(
-        extract_triples_fused(
-            documents,
-            ner_model=ner_model,
-            re_model=re_model,
-            max_distance=max_distance,
-        )
-    ).withColumn("run_id", F.lit(run_id))
+    rows = build_rows(pending).withColumn("run_id", F.lit(run_id))
     # phase 1: data under this run's partition (invisible until committed)
-    triples.write.mode("append").partitionBy("run_id", "pred").parquet(
-        _triples_path(out_dir)
-    )
+    rows.write.mode("append").partitionBy(
+        "run_id", data_partition_col
+    ).parquet(_data_path(out_dir, data_name))
     # count the increment from what was actually written for THIS run —
-    # reading only this run's partition directory, NOT _raw_triples: inside
-    # stream_kg_triples_committed's foreachBatch the latter would re-list
-    # the whole output dir every micro-batch, scaling with total accumulated
-    # runs rather than batch size
-    run_dir = os.path.join(_triples_path(out_dir), f"run_id={run_id}")
+    # reading only this run's partition directory, NOT the full raw table:
+    # inside a foreachBatch sink the latter would re-list the whole output
+    # dir every micro-batch, scaling with total accumulated runs rather
+    # than batch size
+    run_dir = os.path.join(
+        _data_path(out_dir, data_name), f"run_id={run_id}"
+    )
     fs, run_hpath = _hadoop_fs(spark, run_dir)
     if fs.exists(run_hpath):
-        n_triples = spark.read.parquet(run_dir).count()
+        n_rows = spark.read.parquet(run_dir).count()
     else:
         # an all-empty increment: partitionBy writes no directory at all
-        n_triples = 0
+        n_rows = 0
     # phase 2 (commit point): markers carry the run_id that validates the data
     (
         pending.select(_unit_key_col().alias("unit_key"))
@@ -203,7 +229,22 @@ def ingest_increment(
         .write.mode("append")
         .parquet(_processed_path(out_dir))
     )
-    return {"processed_units": n_units, "new_triples": n_triples}
+    return {"processed_units": n_units, "new_triples": n_rows}
+
+
+def read_committed_rows(
+    spark: SparkSession,
+    out_dir: str,
+    data_name: str = "triples",
+    data_partition_col: str = "pred",
+) -> DataFrame:
+    """Committed rows of a generic two-phase dataset (see ingest_increment's
+    build_rows): data whose run_id has markers; orphans filtered."""
+    raw = _raw_rows(spark, out_dir, data_name, data_partition_col)
+    committed = committed_run_ids(spark, out_dir)
+    return raw.join(
+        F.broadcast(committed), "run_id", "left_semi"
+    ).drop("run_id")
 
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:

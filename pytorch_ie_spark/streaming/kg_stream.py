@@ -109,3 +109,102 @@ def batch_kg_triples(spark: SparkSession, source_dir: str, **kwargs) -> DataFram
     src = spark.read.schema(SOURCE_SCHEMA).parquet(source_dir)
     documents = documents_from_source_files(src)
     return extract_triples_fused(documents, **kwargs)
+
+
+def stream_doc_labels(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "doc_labels_stream",
+    model_name: str = "doc_mock_classifier",
+    model_config: dict | None = None,
+    output_path: str | None = None,
+    max_files_per_trigger: int = 4,
+):
+    """File-stream of source rows -> document-classification Label rows.
+
+    The doc-classification taskmodule (operators/doc_classify.py) is a
+    stateless mapInPandas stage, so — like the fused extractor — it lifts
+    onto Structured Streaming unchanged: the same encode -> predict ->
+    unbatch code path serves batch backfills and the continuous ingest
+    feed. Sink: label-partitioned parquet with `output_path`, else an
+    in-memory table named `query_name` (tests)."""
+    from ..operators.doc_classify import classify_documents
+
+    stream_src = (
+        spark.readStream.schema(SOURCE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    documents = documents_from_source_files(stream_src)
+    labels = classify_documents(
+        documents, model_name=model_name, model_config=model_config or {}
+    )
+    writer = (
+        labels.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if output_path:
+        writer = writer.format("parquet").option("path", output_path).partitionBy(
+            "label"
+        )
+    else:
+        writer = writer.format("memory")
+    return writer.start()
+
+
+def stream_doc_labels_committed(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+    model_name: str = "doc_mock_classifier",
+):
+    """File-stream -> two-phase-committed doc-label snapshots.
+
+    The same composition as stream_kg_triples_committed, through the now
+    dataset-generic ingest_increment: each micro-batch stages Label rows
+    under a fresh run_id (label-partitioned), then commits by writing the
+    unit markers — replayed batches after a crash-restart or a LOST
+    streaming checkpoint are committed no-ops. Read back with
+    plans/incremental.read_committed_rows(out_dir, 'doc_labels', 'label').
+    """
+    from ..operators.doc_classify import classify_documents
+    from ..plans.incremental import ingest_increment
+
+    stream_src = (
+        spark.readStream.schema(SOURCE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def commit_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        ingest_increment(
+            batch_df.sparkSession,
+            batch_df,
+            out_dir,
+            build_rows=lambda pending: classify_documents(
+                documents_from_source_files(pending), model_name=model_name
+            ),
+            data_name="doc_labels",
+            data_partition_col="label",
+        )
+
+    writer = stream_src.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def batch_doc_labels(spark: SparkSession, source_dir: str, **kwargs) -> DataFrame:
+    """The same classification in batch — used to verify stream==batch."""
+    from ..operators.doc_classify import classify_documents
+
+    src = spark.read.schema(SOURCE_SCHEMA).parquet(source_dir)
+    documents = documents_from_source_files(src)
+    return classify_documents(documents, **kwargs)

@@ -113,3 +113,85 @@ def test_stream_committed_end_to_end_crash_restart(spark, sf_dir, tmp_path):
     n_preds = grown.select("pred").distinct().count()
     assert stats["files_after"] <= n_preds
     assert stats["files_after"] < stats["files_before"]
+
+
+def test_stream_doc_labels_match_batch(spark, sf_dir, tmp_path):
+    """The doc-classification taskmodule lifts onto Structured Streaming
+    unchanged: streamed Label rows == batch Label rows on the same files."""
+    from pytorch_ie_spark.streaming.kg_stream import (
+        batch_doc_labels,
+        stream_doc_labels,
+    )
+
+    src_dir = tmp_path / "src_files"
+    source_files_from_documents(spark, sf_dir).repartition(4).write.parquet(
+        str(src_dir)
+    )
+    q = stream_doc_labels(
+        spark,
+        str(src_dir),
+        str(tmp_path / "ckpt_labels"),
+        query_name="t_doc_label_stream",
+        max_files_per_trigger=2,
+    )
+    try:
+        q.processAllAvailable()
+        stream_rows = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    "SELECT doc_id, label, score FROM t_doc_label_stream"
+                ).collect(),
+            )
+        )
+    finally:
+        q.stop()
+    batch_rows = sorted(
+        map(
+            tuple,
+            batch_doc_labels(spark, str(src_dir))
+            .select("doc_id", "label", "score")
+            .collect(),
+        )
+    )
+    assert len(stream_rows) > 0
+    assert stream_rows == batch_rows
+
+
+def test_stream_doc_labels_committed_replay_noop(spark, sf_dir, tmp_path):
+    """Generic two-phase commit under streaming: doc-label snapshots become
+    visible only when committed, and replaying the whole stream after
+    LOSING the streaming checkpoint is a committed no-op."""
+    import shutil
+
+    from pytorch_ie_spark.plans.incremental import read_committed_rows
+    from pytorch_ie_spark.streaming.kg_stream import (
+        batch_doc_labels,
+        stream_doc_labels_committed,
+    )
+
+    src_dir = tmp_path / "src_files"
+    source_files_from_documents(spark, sf_dir).repartition(4).write.parquet(
+        str(src_dir)
+    )
+    out_dir = str(tmp_path / "labels_out")
+    ckpt = str(tmp_path / "labels_ckpt")
+    q = stream_doc_labels_committed(spark, str(src_dir), ckpt, out_dir)
+    q.awaitTermination()
+    committed = read_committed_rows(
+        spark, out_dir, "doc_labels", "label"
+    )
+    expected = batch_doc_labels(spark, str(src_dir))
+    n1 = committed.count()
+    assert n1 == expected.count() > 0
+    assert sorted(
+        map(tuple, committed.select("doc_id", "label").collect())
+    ) == sorted(map(tuple, expected.select("doc_id", "label").collect()))
+    # lose the STREAMING checkpoint entirely; the unit markers alone must
+    # make the full replay a no-op
+    shutil.rmtree(ckpt)
+    q2 = stream_doc_labels_committed(spark, str(src_dir), ckpt, out_dir)
+    q2.awaitTermination()
+    assert read_committed_rows(
+        spark, out_dir, "doc_labels", "label"
+    ).count() == n1
