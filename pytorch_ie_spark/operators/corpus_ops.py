@@ -70,6 +70,48 @@ def ngram_contamination(
     )
 
 
+def boilerplate_fraction(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Per document: the fraction of its distinct token n-grams that are
+    corpus-frequent (appear in >= `min_docs` documents) — the standard
+    boilerplate/template signal for corpus cleaning (license headers,
+    navigation chrome, generated scaffolding score high).
+
+    One map-side-combinable document-frequency aggregation; the frequent
+    set is boilerplate-sized (small by definition), so it broadcasts back
+    into the gram stream — the corpus side never shuffles twice.
+    Returns (doc_id, n_grams, n_boiler_grams, boiler_frac).
+    """
+    grams = _distinct_grams(documents, id_col, text_col, n, None).drop(
+        "block"
+    )
+    frequent = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("gram")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        grams.join(F.broadcast(frequent), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    out = sizes.join(hits, "doc_id", "left")
+    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long")
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        n_boiler.alias("n_boiler_grams"),
+        F.round(n_boiler / F.col("n_grams"), 6).alias("boiler_frac"),
+    )
+
+
 def tfidf_top_terms(
     documents: DataFrame,
     id_col: str = "doc_id",

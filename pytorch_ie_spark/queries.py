@@ -1155,6 +1155,48 @@ FROM sizes s LEFT JOIN hits h USING (doc_id)
 """
 
 
+BOILER_MIN_DOCS = 5
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction: share of distinct 4-grams that
+    appear in >= 5 documents — the template/license-header cleaning signal;
+    frequent-gram set broadcasts back into the gram stream."""
+    from .operators.corpus_ops import boilerplate_fraction
+
+    docs = read_table(spark, sf_dir, "documents")
+    return boilerplate_fraction(
+        docs, n=CONTAM_N, min_docs=BOILER_MIN_DOCS
+    )
+
+
+TEXT_BOILERPLATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')
+           AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(tk) - {CONTAM_N - 1}, 1)),
+      i -> array_to_string(tk[i:i+{CONTAM_N - 1}], ' ')))) AS gram
+  FROM toks
+), frequent AS (
+  SELECT gram FROM grams
+  GROUP BY gram HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams FROM grams GROUP BY doc_id
+), hits AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_boiler
+  FROM grams g JOIN frequent f USING (gram) GROUP BY g.doc_id
+)
+SELECT s.doc_id, s.n_grams,
+  coalesce(h.n_boiler, 0)::BIGINT AS n_boiler_grams,
+  round(coalesce(h.n_boiler, 0) / s.n_grams::DOUBLE, 6) AS boiler_frac
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per document by smoothed TF-IDF (sklearn smooth_idf:
     ln((N+1)/(df+1)) + 1), ties broken by term — two keyed aggregations,
@@ -1258,6 +1300,115 @@ WITH RECURSIVE base AS (
   FROM pack p JOIN seq s ON s.group_id = p.group_id AND s.rn = p.rn + 1
 )
 SELECT group_id, doc_id, n_tokens, bin_idx, bin_fill FROM pack
+"""
+
+
+CURATION_MIN_DISTINCT_RATIO = 0.45
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation decision per document — the composition a
+    training-data pipeline actually ships: exact-dedup keeper (min doc_id
+    per normalized-content key), distinct-token-ratio quality gate,
+    benchmark decontamination (4-gram overlap vs the doc_id%97 eval set),
+    and the deterministic stratified sample, ANDed into one auditable
+    `kept` flag with every signal observable. Eval-set docs are excluded
+    from the corpus side entirely."""
+    from .operators.corpus_ops import ngram_contamination, stratified_sample
+    from .operators.dedup import normalize_text
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % CONTAM_BENCH_MOD != 0
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "text")
+    bench = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    )
+    keyed = docs.withColumn(
+        "content_key", F.md5(normalize_text(F.col("text")))
+    )
+    keepers = keyed.groupBy("content_key").agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    toks = F.split(F.col("text"), " ")
+    quality = keyed.join(keepers, "content_key").select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") == F.col("keep_id")).alias("keep_dedup"),
+        (
+            F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6)
+            >= CURATION_MIN_DISTINCT_RATIO
+        ).alias("quality_ok"),
+    )
+    contam = ngram_contamination(docs, bench, n=CONTAM_N).select(
+        "doc_id", "contaminated"
+    )
+    sampled = stratified_sample(
+        docs.select("doc_id", "lang"), rates=SAMPLE_RATES, salt=SAMPLE_SALT
+    ).select("doc_id", F.col("keep").alias("sampled"))
+    out = quality.join(contam, "doc_id").join(sampled, "doc_id")
+    return out.select(
+        "doc_id",
+        "lang",
+        "keep_dedup",
+        "quality_ok",
+        "contaminated",
+        "sampled",
+        (
+            F.col("keep_dedup")
+            & F.col("quality_ok")
+            & ~F.col("contaminated")
+            & F.col("sampled")
+        ).alias("kept"),
+    )
+
+
+CORPUS_CURATION_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id::BIGINT AS doc_id, lang, text FROM documents
+  WHERE doc_id % {CONTAM_BENCH_MOD} != 0
+), keyed AS (
+  SELECT doc_id, lang, text,
+         md5(trim(regexp_replace(lower(text),'\\s+',' ','g'))) AS content_key
+  FROM corpus
+), keepers AS (
+  SELECT content_key, min(doc_id) AS keep_id FROM keyed GROUP BY content_key
+), quality AS (
+  SELECT k.doc_id, k.lang, (k.doc_id = kp.keep_id) AS keep_dedup,
+    round(len(list_distinct(string_split(k.text,' ')))::DOUBLE
+          / len(string_split(k.text,' ')), 6)
+      >= {CURATION_MIN_DISTINCT_RATIO} AS quality_ok
+  FROM keyed k JOIN keepers kp USING (content_key)
+), toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')
+           AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(tk) - {CONTAM_N - 1}, 1)),
+      i -> array_to_string(tk[i:i+{CONTAM_N - 1}], ' ')))) AS gram
+  FROM toks
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+), contam AS (
+  SELECT g.doc_id, count(b.gram) > 0 AS contaminated
+  FROM grams g LEFT JOIN bench b USING (gram)
+  WHERE g.doc_id % {CONTAM_BENCH_MOD} != 0
+  GROUP BY g.doc_id
+), sampled AS (
+  SELECT doc_id,
+    round(('0x' || substr(md5(doc_id::VARCHAR || '|' || '{SAMPLE_SALT}'),
+           1, 8))::BIGINT / 4294967296.0, 9)
+      < (CASE lang {_SAMPLE_RATE_CASE} ELSE 0.0 END) AS keep
+  FROM corpus
+)
+SELECT q.doc_id, q.lang, q.keep_dedup, q.quality_ok, c.contaminated,
+       s.keep AS sampled,
+       (q.keep_dedup AND q.quality_ok AND NOT c.contaminated AND s.keep)
+         AS kept
+FROM quality q
+JOIN contam c USING (doc_id)
+JOIN sampled s USING (doc_id)
 """
 
 
@@ -5087,4 +5238,6 @@ QUERIES: dict[str, tuple] = {
     "text_tfidf": (q_text_tfidf, TEXT_TFIDF_ORACLE),
     "text_sampled": (q_text_sampled, TEXT_SAMPLED_ORACLE),
     "text_packed": (q_text_packed, TEXT_PACKED_ORACLE),
+    "text_boilerplate": (q_text_boilerplate, TEXT_BOILERPLATE_ORACLE),
+    "corpus_curation": (q_corpus_curation, CORPUS_CURATION_ORACLE),
 }

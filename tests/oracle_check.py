@@ -34,8 +34,14 @@ def frame_hash(pdf: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     sys.path.insert(0, ".")
     from pytorch_ie_spark.queries import QUERIES
     from pytorch_ie_spark.session import get_spark
@@ -49,6 +55,7 @@ def main():
         )
 
     n_fail = 0
+    record: dict[str, dict] = {}
     for name, (fn, oracle) in QUERIES.items():
         if only and name not in only:
             continue
@@ -56,15 +63,18 @@ def main():
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            record[name] = {"status": "spark_error"}
             n_fail += 1
             continue
         if oracle is None:
             print(f"OK*   {name}: rows={len(spark_pdf)} (no oracle, rows-only)")
+            record[name] = {"status": "rows_only", "rows": len(spark_pdf)}
             continue
         try:
             duck_pdf = con.sql(oracle).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            record[name] = {"status": "duckdb_error"}
             n_fail += 1
             continue
         problems = []
@@ -93,9 +103,27 @@ def main():
                 problems.append(f"spark-only={only_a} duck-only={only_b}")
         if problems:
             print(f"MISMATCH {name}: " + "; ".join(problems))
+            record[name] = {"status": "mismatch", "detail": problems[:1]}
             n_fail += 1
         else:
             print(f"OK    {name}: rows={len(spark_pdf)}")
+            record[name] = {
+                "status": "ok",
+                "rows": len(spark_pdf),
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": True,
+            }
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_fail": n_fail, "queries": record},
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
     sys.exit(1 if n_fail else 0)
 

@@ -133,3 +133,22 @@ def test_pack_groups_are_independent(spark):
     # packing restarts per group
     assert out[100]["bin_idx"] == 1 and out[100]["bin_fill"] == 10
     assert out[101]["bin_fill"] == 20
+
+
+def test_boilerplate_fraction_flags_shared_grams(spark):
+    from pytorch_ie_spark.operators.corpus_ops import boilerplate_fraction
+
+    boiler = "all rights reserved no warranty of any kind"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique tail {i}") for i in range(5)]
+        + [(10, "entirely novel words appear only here once")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_fraction(
+        docs, n=4, min_docs=5).collect()}
+    # the 5 boiler docs share every gram inside the boiler block
+    assert out[0]["n_boiler_grams"] >= 4
+    assert out[0]["boiler_frac"] > 0.3
+    # the novel doc has zero corpus-frequent grams
+    assert out[10]["n_boiler_grams"] == 0
+    assert out[10]["boiler_frac"] == 0.0

@@ -108,3 +108,21 @@ def test_mentions_lineage_scan_is_parallel(spark, sf001):
     # and the exchange sits in the plan (round-robin repartition), so the
     # fan-out is part of the lineage any lazy checkpoint replays
     assert "roundrobinpartitioning" in _plan(m).lower()
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf001):
+    """The benchmark gram index must broadcast — the corpus side must not
+    shuffle on gram."""
+    from pytorch_ie_spark.queries import q_text_contamination
+
+    plan = _plan(q_text_contamination(spark, sf001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_document_frequencies(spark, sf001):
+    """The vocabulary-sized df table must broadcast into the tf join."""
+    from pytorch_ie_spark.queries import q_text_tfidf
+
+    plan = _plan(q_text_tfidf(spark, sf001))
+    assert "BroadcastHashJoin" in plan
