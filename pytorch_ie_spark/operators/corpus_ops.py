@@ -214,6 +214,23 @@ def stratified_sample(
     )
 
 
+def pack_fold(lengths: list[int], budget: int) -> list[tuple[int, int]]:
+    """The pure greedy first-fit fold: for each length, (1-based bin index,
+    bin token count after this item). A new bin opens when the current one
+    cannot take the item; an item longer than the budget occupies a bin
+    alone. Property-tested in tests/test_corpus_ops.py."""
+    out: list[tuple[int, int]] = []
+    bin_idx, fill = 0, None
+    for n in lengths:
+        if fill is None or fill + n > budget:
+            bin_idx += 1
+            fill = n
+        else:
+            fill += n
+        out.append((bin_idx, fill))
+    return out
+
+
 def pack_sequences(
     documents: DataFrame,
     budget_tokens: int,
@@ -257,19 +274,11 @@ def pack_sequences(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bin_idx, fill = 0, None
-        idxs, fills = [], []
-        for n in pdf["n_tokens"]:
-            n = int(n)
-            if fill is None or fill + n > budget_tokens:
-                bin_idx += 1
-                fill = n
-            else:
-                fill += n
-            idxs.append(bin_idx)
-            fills.append(fill)
-        pdf["bin_idx"] = idxs
-        pdf["bin_fill"] = fills
+        idxs, fills = zip(
+            *pack_fold([int(n) for n in pdf["n_tokens"]], budget_tokens)
+        ) if len(pdf) else ((), ())
+        pdf["bin_idx"] = list(idxs)
+        pdf["bin_fill"] = list(fills)
         return pdf
 
     return base.groupBy("group_id").applyInPandas(

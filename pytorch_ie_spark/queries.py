@@ -1303,6 +1303,41 @@ SELECT group_id, doc_id, n_tokens, bin_idx, bin_fill FROM pack
 """
 
 
+def q_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus length statistics: doc count, token total, mean
+    and exact p25/p50/p75 token-count percentiles (Spark `percentile` and
+    DuckDB `quantile_cont` share linear interpolation, verified
+    bit-identical). Exact percentiles gather per-group values — the right
+    gate for correctness; the 100 TB path swaps in `percentile_approx`
+    (t-digest, map-side combinable) with everything else unchanged."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    pct = F.expr(
+        "percentile(size(split(text, ' ')), array(0.25, 0.5, 0.75))"
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_toks).cast("long").alias("total_tokens"),
+        F.round(F.sum(n_toks) / F.count(F.lit(1)), 6).alias("mean_tokens"),
+        F.round(pct[0], 6).alias("p25"),
+        F.round(pct[1], 6).alias("p50"),
+        F.round(pct[2], 6).alias("p75"),
+    )
+
+
+CORPUS_LENGTH_STATS_ORACLE = """
+WITH toks AS (
+  SELECT lang, len(string_split(text, ' '))::BIGINT AS n FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens,
+  round(sum(n) / count(*)::DOUBLE, 6) AS mean_tokens,
+  round(quantile_cont(n, 0.25), 6) AS p25,
+  round(quantile_cont(n, 0.5), 6) AS p50,
+  round(quantile_cont(n, 0.75), 6) AS p75
+FROM toks GROUP BY lang
+"""
+
+
 CURATION_MIN_DISTINCT_RATIO = 0.45
 
 
@@ -5240,4 +5275,5 @@ QUERIES: dict[str, tuple] = {
     "text_packed": (q_text_packed, TEXT_PACKED_ORACLE),
     "text_boilerplate": (q_text_boilerplate, TEXT_BOILERPLATE_ORACLE),
     "corpus_curation": (q_corpus_curation, CORPUS_CURATION_ORACLE),
+    "corpus_length_stats": (q_corpus_length_stats, CORPUS_LENGTH_STATS_ORACLE),
 }

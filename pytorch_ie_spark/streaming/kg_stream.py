@@ -12,6 +12,7 @@ This is an engine extension — the reference is batch-only (SURVEY.md §2.9).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.extract import extract_triples_fused
 from ..sources.readers import documents_from_source_files
@@ -149,6 +150,57 @@ def stream_doc_labels(
         writer = writer.format("parquet").option("path", output_path).partitionBy(
             "label"
         )
+    else:
+        writer = writer.format("memory")
+    return writer.start()
+
+
+def stream_dedup_documents(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "dedup_stream",
+    ts_col: str | None = None,
+    horizon: str = "10 minutes",
+    output_path: str | None = None,
+    max_files_per_trigger: int = 4,
+):
+    """Exact content dedup ACROSS a stream: only the first arrival of each
+    normalized-content key is emitted; later duplicates — in the same or
+    any later micro-batch — are suppressed by the engine's state store.
+
+    Spark-first on purpose: this is the built-in streaming
+    `dropDuplicates` (state-store keyed by content_key), not a hand-rolled
+    applyInPandasWithState — the engine already owns exactly this
+    operator. Without `ts_col` the key state is unbounded (fine for
+    bounded backfills); at corpus scale pass the ingest-time column and a
+    `horizon` so `dropDuplicatesWithinWatermark` bounds state to the
+    dedup window, which is how a continuous 100 TB ingest keeps the state
+    store finite."""
+    from ..operators.dedup import normalize_text
+
+    stream_src = (
+        spark.readStream.schema(SOURCE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    documents = documents_from_source_files(stream_src)
+    keyed = documents.withColumn(
+        "content_key", F.md5(normalize_text(F.col("text")))
+    )
+    if ts_col is not None:
+        deduped = keyed.withWatermark(
+            ts_col, horizon
+        ).dropDuplicatesWithinWatermark(["content_key"])
+    else:
+        deduped = keyed.dropDuplicates(["content_key"])
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if output_path:
+        writer = writer.format("parquet").option("path", output_path)
     else:
         writer = writer.format("memory")
     return writer.start()

@@ -152,3 +152,49 @@ def test_boilerplate_fraction_flags_shared_grams(spark):
     # the novel doc has zero corpus-frequent grams
     assert out[10]["n_boiler_grams"] == 0
     assert out[10]["boiler_frac"] == 0.0
+
+
+def test_pack_fold_properties():
+    """Hypothesis: the greedy fold's invariants hold for arbitrary inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pytorch_ie_spark.operators.corpus_ops import pack_fold
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=200), max_size=60),
+        st.integers(min_value=1, max_value=120),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(lengths, budget):
+        out = pack_fold(lengths, budget)
+        assert len(out) == len(lengths)
+        prev_idx, prev_fill = 0, None
+        for (idx, fill), n in zip(out, lengths):
+            # bin indices advance by at most one and never go back
+            assert idx in (prev_idx, prev_idx + 1)
+            if idx == prev_idx:
+                # same bin: fill accumulates and stays within budget
+                assert fill == prev_fill + n and fill <= budget
+            else:
+                # new bin: starts with exactly this item; only oversize
+                # items may exceed the budget, and then they sit alone
+                assert fill == n
+                assert n <= budget or True  # oversize allowed, alone
+            prev_idx, prev_fill = idx, fill
+        # bins partition the items and every bin's final fill is the sum
+        # of its items
+        sums: dict[int, int] = {}
+        for (idx, _), n in zip(out, lengths):
+            sums[idx] = sums.get(idx, 0) + n
+        finals = {idx: fill for (idx, fill) in out}
+        assert finals == {i: s for i, s in sums.items()}
+        # no two consecutive bins could have been merged (greedy is tight):
+        # the first item of bin k+1 did not fit into bin k
+        firsts: dict[int, int] = {}
+        for (idx, _), n in zip(out, lengths):
+            firsts.setdefault(idx, n)
+        for k in range(1, len(sums)):
+            assert sums[k] + firsts[k + 1] > budget
+
+    check()

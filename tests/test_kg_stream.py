@@ -195,3 +195,47 @@ def test_stream_doc_labels_committed_replay_noop(spark, sf_dir, tmp_path):
     assert read_committed_rows(
         spark, out_dir, "doc_labels", "label"
     ).count() == n1
+
+
+def test_stream_dedup_suppresses_cross_batch_duplicates(spark, sf_dir, tmp_path):
+    """Engine-native streaming dedup: duplicated content arriving in LATER
+    micro-batches is suppressed by the state store — output has exactly one
+    row per distinct normalized content."""
+    from pyspark.sql import functions as F
+
+    from pytorch_ie_spark.streaming.kg_stream import stream_dedup_documents
+
+    src = source_files_from_documents(spark, sf_dir)
+    # duplicate every unit under a different path so unit keys differ but
+    # content collides; write as separate files so duplicates land in
+    # separate micro-batches (maxFilesPerTrigger=1)
+    dup = src.withColumn("path", F.concat(F.col("path"), F.lit("-copy")))
+    src_dir = tmp_path / "src_dup"
+    src.coalesce(1).write.mode("append").parquet(str(src_dir))
+    dup.coalesce(1).write.mode("append").parquet(str(src_dir))
+    q = stream_dedup_documents(
+        spark,
+        str(src_dir),
+        str(tmp_path / "dedup_ckpt"),
+        query_name="t_dedup_stream",
+        max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT content_key, count(*) AS c FROM t_dedup_stream "
+            "GROUP BY content_key HAVING count(*) > 1"
+        ).collect()
+        n_out = spark.sql("SELECT count(*) AS n FROM t_dedup_stream").first()["n"]
+    finally:
+        q.stop()
+    assert out == []  # no key emitted twice, even across micro-batches
+    n_distinct = (
+        src.unionByName(dup)
+        .selectExpr(
+            "md5(trim(regexp_replace(lower(content), '\\\\s+', ' '))) AS k"
+        )
+        .distinct()
+        .count()
+    )
+    assert n_out == n_distinct > 0

@@ -126,3 +126,48 @@ def test_tokens_and_tags_to_text_and_labeled_spans():
     assert text == "Karl Marx lived in London"
     assert spans == [("PER", (0, 9)), ("LOC", (19, 25))]
     assert text[0:9] == "Karl Marx" and text[19:25] == "London"
+
+
+def test_iob2_strict_raise_equals_local_validity_property():
+    """Hypothesis: the sequential strict decoder raises EXACTLY when some
+    I- tag fails the local check (previous tag is not B-/I- of the same
+    label) — the equivalence the kg_iob2_strict DuckDB oracle encodes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pytorch_ie_spark.functions.span import (
+        InvalidTagSequence,
+        iob2_tags_to_spans,
+    )
+
+    tag = st.sampled_from(
+        ["O", "B-A", "I-A", "B-B", "I-B", "B-LONG", "I-LONG"]
+    )
+
+    @given(st.lists(tag, max_size=12))
+    @settings(max_examples=300, deadline=None)
+    def check(tags):
+        locally_valid = all(
+            not t.startswith("I-")
+            or (
+                i > 0
+                and tags[i - 1] in (f"B-{t[2:]}", f"I-{t[2:]}")
+            )
+            for i, t in enumerate(tags)
+        )
+        try:
+            spans = iob2_tags_to_spans(tags)
+            raised = False
+        except InvalidTagSequence:
+            raised = True
+        assert raised == (not locally_valid)
+        if not raised:
+            # decoded spans reproduce the tags exactly (inverse property)
+            rebuilt = ["O"] * len(tags)
+            for label, (s, e) in spans:
+                rebuilt[s] = f"B-{label}"
+                for i in range(s + 1, e + 1):
+                    rebuilt[i] = f"I-{label}"
+            assert rebuilt == tags
+
+    check()
