@@ -1303,6 +1303,124 @@ SELECT group_id, doc_id, n_tokens, bin_idx, bin_fill FROM pack
 """
 
 
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+
+
+def _doc_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed doc-link graph: for each gazetteer surface, chain the docs
+    containing it in doc_id order (doc_i -> doc_{i+1}) — bounded edges
+    (one per doc per surface), never the per-surface clique."""
+    from .operators.re_encoding import token_mentions
+
+    docs = read_table(spark, sf_dir, "documents")
+    ds = (
+        token_mentions(docs, list(GAZETTEER))
+        .select("doc_id", "surface")
+        .dropDuplicates(["doc_id", "surface"])
+    )
+    w = W.partitionBy("surface").orderBy("doc_id")
+    return (
+        ds.select(
+            F.col("doc_id").alias("src"),
+            F.lead("doc_id").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the doc-link graph (iterative
+    DataFrame joins — the same sweep shape as the large-star/small-star CC
+    rounds; GraphFrames-style analytics over the materialized KG).
+    Contributions quantize to DECIMAL(30,12) pre-sum so the in-neighbor
+    aggregation is exact and order-independent; the oracle unrolls the
+    three sweeps as chained CTEs."""
+    from .operators.graph import pagerank
+
+    return pagerank(
+        _doc_chain_edges(spark, sf_dir),
+        damping=PAGERANK_DAMPING,
+        iterations=PAGERANK_ITERS,
+    )
+
+
+def _pagerank_iteration_sql(prev: str, this: str) -> str:
+    return f"""{this} AS (
+  SELECT nd.node,
+    (1 - {PAGERANK_DAMPING}::DOUBLE) / n.n
+      + {PAGERANK_DAMPING}::DOUBLE * coalesce(CAST(s.s AS DOUBLE), 0.0)
+      AS pr
+  FROM nodes nd CROSS JOIN n LEFT JOIN (
+    SELECT e.dst AS node,
+           sum(CAST(round(p.pr / d.out_deg, 12) AS DECIMAL(30,12))) AS s
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nd.node
+)"""
+
+
+KG_PAGERANK_ORACLE = f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id::BIGINT AS doc_id, surface FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS surface
+    FROM documents
+  ) WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), chained AS (
+  SELECT doc_id AS src,
+         lead(doc_id) OVER (PARTITION BY surface ORDER BY doc_id) AS dst
+  FROM ds
+), edges AS (
+  SELECT DISTINCT src, dst FROM chained WHERE dst IS NOT NULL
+), deg AS (
+  SELECT src, count(*)::BIGINT AS out_deg FROM edges GROUP BY src
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), n AS (
+  SELECT count(*)::BIGINT AS n FROM nodes
+), pr0 AS (
+  SELECT node, 1.0::DOUBLE / n.n AS pr FROM nodes CROSS JOIN n
+), {_pagerank_iteration_sql("pr0", "it1")},
+{_pagerank_iteration_sql("it1", "it2")},
+{_pagerank_iteration_sql("it2", "it3")}
+SELECT node, round(pr, 6) AS pagerank FROM it3
+"""
+
+
+def q_kg_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node in/out degree over the doc-link graph — the degree-profile
+    companion to kg_pagerank (full outer join of the two keyed counts)."""
+    from .operators.graph import graph_degree_stats
+
+    return graph_degree_stats(_doc_chain_edges(spark, sf_dir))
+
+
+KG_GRAPH_DEGREES_ORACLE = f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id::BIGINT AS doc_id, surface FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS surface
+    FROM documents
+  ) WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), chained AS (
+  SELECT doc_id AS src,
+         lead(doc_id) OVER (PARTITION BY surface ORDER BY doc_id) AS dst
+  FROM ds
+), edges AS (
+  SELECT DISTINCT src, dst FROM chained WHERE dst IS NOT NULL
+), outd AS (
+  SELECT src AS node, count(*)::BIGINT AS out_degree FROM edges GROUP BY src
+), ind AS (
+  SELECT dst AS node, count(*)::BIGINT AS in_degree FROM edges GROUP BY dst
+)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(o.out_degree, 0)::BIGINT AS out_degree,
+       coalesce(i.in_degree, 0)::BIGINT AS in_degree
+FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+"""
+
+
 def q_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus length statistics: doc count, token total, mean
     and exact p25/p50/p75 token-count percentiles (Spark `percentile` and
@@ -5276,4 +5394,6 @@ QUERIES: dict[str, tuple] = {
     "text_boilerplate": (q_text_boilerplate, TEXT_BOILERPLATE_ORACLE),
     "corpus_curation": (q_corpus_curation, CORPUS_CURATION_ORACLE),
     "corpus_length_stats": (q_corpus_length_stats, CORPUS_LENGTH_STATS_ORACLE),
+    "kg_pagerank": (q_kg_pagerank, KG_PAGERANK_ORACLE),
+    "kg_graph_degrees": (q_kg_graph_degrees, KG_GRAPH_DEGREES_ORACLE),
 }
