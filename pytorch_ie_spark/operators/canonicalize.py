@@ -223,6 +223,20 @@ def lsh_candidate_edges(
     base, stacked = _surface_band_stack(
         surfaces, surface_col, shingle_k, num_hashes, band_size
     )
+    return _edges_from_stack(
+        base, stacked, jaccard_threshold, max_bucket
+    )
+
+
+def _edges_from_stack(
+    base: DataFrame,
+    stacked: DataFrame,
+    jaccard_threshold: float,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Edges from a precomputed (base, stacked) band stack — split out so
+    canonicalize_mentions can share ONE stack between the dropped-bucket
+    audit and the candidate self-join instead of hashing twice."""
     if max_bucket is not None:
         # cap pathological buckets to avoid quadratic blowup on degenerate
         # keys — window count over band_key rides the self-join's shuffle
@@ -401,14 +415,23 @@ def canonicalize_mentions(
     surfaces = mentions.select(
         normalize_surface(F.col("surface")).alias("surface_norm")
     ).dropDuplicates(["surface_norm"])
+    # ONE band stack shared between the audit aggregate and the candidate
+    # self-join (the stack is localCheckpoint-pinned inside); the audit is
+    # one tiny extra aggregate over already-materialized rows
+    base, stacked = _surface_band_stack(
+        surfaces, "surface_norm", shingle_k, 16, 4
+    )
     if max_bucket is not None:
-        dropped = lsh_dropped_surface_buckets(
-            surfaces, "surface_norm", shingle_k=shingle_k,
-            max_bucket=max_bucket,
-        ).agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("n_rows"),
-        ).first()
+        dropped = (
+            stacked.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("bucket_size"))
+            .where(F.col("bucket_size") > max_bucket)
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("n_rows"),
+            )
+            .first()
+        )
         if dropped["n_buckets"]:
             logger.warning(
                 "canonicalize_mentions: max_bucket=%d dropped %d band "
@@ -417,9 +440,8 @@ def canonicalize_mentions(
                 "(lsh_dropped_surface_buckets has the audit table)",
                 max_bucket, dropped["n_buckets"], dropped["n_rows"],
             )
-    edges = lsh_candidate_edges(
-        surfaces, "surface_norm", shingle_k=shingle_k,
-        jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,
+    edges = _edges_from_stack(
+        base, stacked, jaccard_threshold, max_bucket
     )
     comps = connected_components(edges)
     # singletons (no edges) keep themselves as component
