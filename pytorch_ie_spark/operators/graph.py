@@ -45,6 +45,70 @@ def graph_degree_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def pagerank_converged(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 50,
+) -> tuple[DataFrame, int]:
+    """PageRank iterated until max |Δpr| < tol; raises like
+    connected_components_star when max_iter sweeps don't converge (wrong
+    results must not come back silently). Returns (pr, n_sweeps).
+
+    The delta check is one max-aggregate per sweep (a scalar to the
+    driver); each sweep's frame is localCheckpoint-pinned so sweep k+1 and
+    the delta probe don't replay sweeps 1..k."""
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes)).localCheckpoint(
+        eager=False
+    )
+    base = (1.0 - damping) / n_nodes
+    for sweep in range(1, max_iter + 1):
+        contrib = (
+            e.join(pr, e.src == pr.node)
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("pr") / F.col("out_deg"), 12)
+                .cast("decimal(30,12)")
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        new_pr = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        delta = (
+            new_pr.join(pr.withColumnRenamed("pr", "pr_old"), "node")
+            .agg(F.max(F.abs(F.col("pr") - F.col("pr_old"))).alias("d"))
+            .first()["d"]
+        )
+        pr = new_pr
+        if delta is not None and delta < tol:
+            return pr.select("node", F.round("pr", 6).alias("pagerank")), sweep
+    raise RuntimeError(
+        f"pagerank did not converge in {max_iter} sweeps (last delta "
+        f"{delta}); raise max_iter or loosen tol"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

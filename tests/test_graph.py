@@ -57,3 +57,22 @@ def test_pagerank_duplicate_edges_collapse(spark):
     a = sorted(map(tuple, pagerank(dup).collect()))
     b = sorted(map(tuple, pagerank(uniq).collect()))
     assert a == b
+
+
+def test_pagerank_converged_reaches_fixed_point(spark):
+    import pytest
+
+    from pytorch_ie_spark.operators.graph import pagerank_converged
+
+    pr, sweeps = pagerank_converged(_edges(spark), tol=1e-9, max_iter=100)
+    got = {r["node"]: r["pagerank"] for r in pr.collect()}
+    assert 1 < sweeps <= 100
+    # at the fixed point one more fixed sweep changes nothing (round 6)
+    more = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(_edges(spark), iterations=sweeps + 1).collect()
+    }
+    assert got == more
+    # non-convergence must raise, not return silently
+    with pytest.raises(RuntimeError, match="converge"):
+        pagerank_converged(_edges(spark), tol=1e-15, max_iter=2)
