@@ -214,6 +214,64 @@ def stratified_sample(
     )
 
 
+def mixture_rates(
+    documents: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Static data-mixture rebalancing: per stratum, the Bernoulli sampling
+    rate that makes post-sample token counts proportional to the target
+    shares while keeping as many tokens as possible (the stratum that is
+    scarcest relative to its target keeps rate 1.0; everything else is
+    downsampled to match). rate_s = (min_u T_u/share_u) * share_s / T_s.
+
+    Returns one row per TARGETED stratum:
+      (stratum, current_tokens, current_share, target_share, rate,
+       expected_tokens). Feed `rate` into stratified_sample for the
+    deterministic keep decision. One map-side-combinable aggregation; the
+    normalization window runs over the stratum-cardinality frame (tiny by
+    definition), never over rows.
+    """
+    from pyspark.sql import Window as W
+
+    targeted = sorted(targets)
+    tok = documents.where(
+        F.col(strata_col).isin(targeted)
+    ).groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias(
+            "current_tokens"
+        )
+    )
+    share = None
+    for s in targeted:
+        cond = F.col("stratum") == s
+        share = (
+            F.when(cond, F.lit(float(targets[s])))
+            if share is None
+            else share.when(cond, F.lit(float(targets[s])))
+        )
+    w = W.partitionBy()  # stratum-cardinality frame only
+    scaled = tok.withColumn("target_share", share).withColumn(
+        "_k",
+        F.min(F.col("current_tokens") / F.col("target_share")).over(w),
+    )
+    total = F.sum("current_tokens").over(w)
+    rate = F.round(
+        F.col("_k") * F.col("target_share") / F.col("current_tokens"), 9
+    )
+    return scaled.select(
+        "stratum",
+        "current_tokens",
+        F.round(F.col("current_tokens") / total, 6).alias("current_share"),
+        F.col("target_share"),
+        rate.alias("rate"),
+        F.round(rate * F.col("current_tokens"), 3).alias(
+            "expected_tokens"
+        ),
+    )
+
+
 def pack_fold(lengths: list[int], budget: int) -> list[tuple[int, int]]:
     """The pure greedy first-fit fold: for each length, (1-based bin index,
     bin token count after this item). A new bin opens when the current one

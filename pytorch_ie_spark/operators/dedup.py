@@ -397,6 +397,74 @@ def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataF
     )
 
 
+def cross_corpus_near_dups(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicates of NEW documents against an existing INDEX corpus —
+    the per-crawl dedup step of an incremental ingest: before new data
+    joins the training set, anything already (nearly) in the set is
+    flagged. Same banded MinHash shape as minhash_lsh_pairs, but the
+    bucket join is new×index (never new×new or index×index), so the cost
+    is driven by band collisions ACROSS the two sides only.
+
+    Returns (new_id, index_id, jaccard) for verified pairs over the
+    threshold. `max_bucket` caps each side's contribution to a band
+    bucket (boilerplate shared across crawls is the usual degenerate key);
+    drops are auditable via lsh_dropped_buckets on the union.
+    """
+    nb, ns, nstack = _minhash_band_stack(
+        new_docs, id_col, text_col, shingle_k, num_hashes, band_size
+    )
+    ib, _is, istack = _minhash_band_stack(
+        index_docs, id_col, text_col, shingle_k, num_hashes, band_size
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        def cap(stacked):
+            return (
+                stacked.withColumn(
+                    "_bsz",
+                    F.count(F.lit(1)).over(Window.partitionBy("band_key")),
+                )
+                .where(F.col("_bsz") <= max_bucket)
+                .drop("_bsz")
+            )
+
+        nstack, istack = cap(nstack), cap(istack)
+    pairs = (
+        nstack.select("band_key", F.col("doc_id").alias("new_id"))
+        .join(
+            istack.select("band_key", F.col("doc_id").alias("index_id")),
+            "band_key",
+        )
+        .select("new_id", "index_id")
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    new_sh = nb.select(
+        F.col("doc_id").alias("new_id"), F.col("shingles").alias("new_sh")
+    )
+    idx_sh = ib.select(
+        F.col("doc_id").alias("index_id"), F.col("shingles").alias("idx_sh")
+    )
+    verified = pairs.join(new_sh, "new_id").join(idx_sh, "index_id")
+    inter = F.size(F.array_intersect(F.col("new_sh"), F.col("idx_sh")))
+    union = F.size("new_sh") + F.size("idx_sh") - inter
+    return (
+        verified.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "index_id", "jaccard")
+    )
+
+
 def _distinct_grams(
     df: DataFrame,
     id_col: str,

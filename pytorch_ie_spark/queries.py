@@ -526,8 +526,8 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CTE list shared by the pair query and the cluster (CC) query
-_MINHASH_PAIRS_CTES = f"""base AS (
+# stack CTEs shared by the self-join pair queries AND the cross-corpus one
+_MINHASH_STACK_CTES = f"""base AS (
   SELECT doc_id::BIGINT AS doc_id,
          list_distinct(list_transform(
            generate_series(1, length(trim(regexp_replace(lower(text),'\\s+',' ','g'))) - 4),
@@ -551,7 +551,10 @@ _MINHASH_PAIRS_CTES = f"""base AS (
            || '|' || CAST(mhs[b*4+3] AS VARCHAR)
            || '|' || CAST(mhs[b*4+4] AS VARCHAR))) AS band_key
   FROM sig
-), pairs AS (
+)"""
+
+# CTE list shared by the pair query and the cluster (CC) query
+_MINHASH_PAIRS_CTES = f"""{_MINHASH_STACK_CTES}, pairs AS (
   SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id,
          a.mhs AS src_mhs, b.mhs AS dst_mhs,
          a.sh AS src_sh, b.sh AS dst_sh
@@ -574,6 +577,46 @@ _MINHASH_PAIRS_CTES = f"""base AS (
 MINHASH_PAIRS_ORACLE = f"""
 WITH {_MINHASH_PAIRS_CTES}
 SELECT src_id, dst_id, jaccard FROM lsh_verified
+"""
+
+CROSS_CORPUS_MOD = 3  # doc_id % 3 == 0 -> the "new crawl" side
+
+
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-crawl incremental dedup: near-duplicates of the NEW third of the
+    corpus (doc_id % 3 == 0) against the existing two-thirds INDEX —
+    banded MinHash with a new×index bucket join only (never new×new or
+    index×index); flags what an ingest would drop before training."""
+    from .operators.dedup import cross_corpus_near_dups
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.length(normalize_text(F.col("text"))) >= 5
+    )
+    return cross_corpus_near_dups(
+        docs.where(F.col("doc_id") % CROSS_CORPUS_MOD == 0),
+        docs.where(F.col("doc_id") % CROSS_CORPUS_MOD != 0),
+        jaccard_threshold=0.5,
+    )
+
+
+CROSS_CORPUS_ORACLE = f"""
+WITH {_MINHASH_STACK_CTES}, news AS (
+  SELECT * FROM stacked WHERE doc_id % {CROSS_CORPUS_MOD} = 0
+), idx AS (
+  SELECT * FROM stacked WHERE doc_id % {CROSS_CORPUS_MOD} != 0
+), cpairs AS (
+  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id,
+         n.sh AS nsh, i.sh AS ish
+  FROM news n JOIN idx i ON n.band_key = i.band_key
+)
+SELECT new_id, index_id,
+  round(length(list_intersect(nsh, ish))::DOUBLE
+        / (length(nsh) + length(ish) - length(list_intersect(nsh, ish))),
+        6) AS jaccard
+FROM cpairs
+WHERE length(list_intersect(nsh, ish))::DOUBLE
+      / (length(nsh) + length(ish) - length(list_intersect(nsh, ish)))
+      >= 0.5
 """
 
 
@@ -1418,6 +1461,50 @@ SELECT coalesce(o.node, i.node) AS node,
        coalesce(o.out_degree, 0)::BIGINT AS out_degree,
        coalesce(i.in_degree, 0)::BIGINT AS in_degree
 FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+"""
+
+
+MIXTURE_TARGETS = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static data-mixture rebalancing: per-language sampling rates that
+    make post-sample token counts proportional to the target shares while
+    maximizing retained tokens (the scarcest-relative-to-target language
+    keeps rate 1.0)."""
+    from .operators.corpus_ops import mixture_rates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return mixture_rates(docs, targets=MIXTURE_TARGETS)
+
+
+_MIXTURE_TARGET_CASE = " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in sorted(MIXTURE_TARGETS.items())
+)
+
+CORPUS_MIXTURE_ORACLE = f"""
+WITH tok AS (
+  SELECT lang AS stratum,
+         sum(len(string_split(text, ' ')))::BIGINT AS current_tokens
+  FROM documents
+  WHERE lang IN ({",".join(f"'{s}'" for s in sorted(MIXTURE_TARGETS))})
+  GROUP BY lang
+), scaled AS (
+  SELECT stratum, current_tokens,
+    (CASE stratum {_MIXTURE_TARGET_CASE} END)::DOUBLE AS target_share,
+    min(current_tokens
+        / (CASE stratum {_MIXTURE_TARGET_CASE} END)::DOUBLE) OVER ()
+      AS k,
+    sum(current_tokens) OVER () AS total
+  FROM tok
+)
+SELECT stratum, current_tokens,
+  round(current_tokens / total::DOUBLE, 6) AS current_share,
+  target_share,
+  round(k * target_share / current_tokens, 9) AS rate,
+  round(round(k * target_share / current_tokens, 9) * current_tokens, 3)
+    AS expected_tokens
+FROM scaled
 """
 
 
@@ -5396,4 +5483,6 @@ QUERIES: dict[str, tuple] = {
     "corpus_length_stats": (q_corpus_length_stats, CORPUS_LENGTH_STATS_ORACLE),
     "kg_pagerank": (q_kg_pagerank, KG_PAGERANK_ORACLE),
     "kg_graph_degrees": (q_kg_graph_degrees, KG_GRAPH_DEGREES_ORACLE),
+    "dedup_cross_corpus": (q_dedup_cross_corpus, CROSS_CORPUS_ORACLE),
+    "corpus_mixture": (q_corpus_mixture, CORPUS_MIXTURE_ORACLE),
 }

@@ -198,3 +198,43 @@ def test_pack_fold_properties():
             assert sums[k] + firsts[k + 1] > budget
 
     check()
+
+
+def test_mixture_rates_hit_target_proportions(spark):
+    from pytorch_ie_spark.operators.corpus_ops import mixture_rates
+
+    # en: 1000 tokens, de: 100 tokens; target 50/50 -> de is scarcest
+    docs = spark.createDataFrame(
+        [(1, "en", " ".join(["w"] * 1000)), (2, "de", " ".join(["w"] * 100)),
+         (3, "xx", "ignored untargeted stratum")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["stratum"]: r for r in mixture_rates(
+        docs, {"en": 0.5, "de": 0.5}).collect()}
+    assert set(out) == {"en", "de"}  # untargeted stratum excluded
+    assert out["de"]["rate"] == 1.0  # scarcest-vs-target keeps everything
+    assert out["en"]["rate"] == 0.1  # downsampled to match
+    assert out["en"]["expected_tokens"] == 100.0
+    assert out["de"]["current_share"] == round(100 / 1100, 6)
+
+
+def test_mixture_rates_compose_with_sampler(spark):
+    from pytorch_ie_spark.operators.corpus_ops import (
+        mixture_rates,
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 800 else "de", "w w w w") for i in range(1000)],
+        "doc_id long, lang string, text string",
+    )
+    rates = {
+        r["stratum"]: r["rate"]
+    for r in mixture_rates(docs, {"en": 0.5, "de": 0.5}).collect()}
+    kept = stratified_sample(docs, rates).where("keep")
+    n = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    # post-sample counts approximately balanced (Bernoulli noise allowed)
+    assert n["de"] == 200  # rate 1.0 keeps all
+    assert 120 < n["en"] < 280  # ~200 expected at rate 0.25
