@@ -324,6 +324,88 @@ FROM rels GROUP BY 1,2,3
 """
 
 
+NEG_SAMPLE_K = 2
+NEG_SAMPLE_SEED = "neg-v1"
+FUNCTIONAL_PREDS = ["op:uses_algo", "actor:uses_engine"]
+
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic tail-corruption negative sampling for KG-embedding
+    training (TransE/DistMult pair generation): replacement entity =
+    dense-index lookup of md5(s|p|o|j|seed) mod N over the two-level
+    bucketed entity index (row_number only within md5 buckets — never a
+    global sort); accidental positives and no-op corruptions filtered."""
+    from .operators.kg_train import negative_samples
+
+    t = q_kg_triples(spark, sf_dir).select("subj", "pred", "obj")
+    return negative_samples(t, k=NEG_SAMPLE_K, seed=NEG_SAMPLE_SEED)
+
+
+KG_NEGATIVE_SAMPLES_ORACLE = f"""
+WITH rels AS ({{rels}}),
+t AS (
+  SELECT DISTINCT head_surface AS subj, label AS pred, tail_surface AS obj
+  FROM rels
+), ents AS (
+  SELECT subj AS e FROM t UNION SELECT obj FROM t
+), bk AS (
+  SELECT e, ('0x' || substr(md5(e), 1, 8))::BIGINT % 64 AS b FROM ents
+), counts AS (
+  SELECT b, count(*) AS c FROM bk GROUP BY b
+), offs AS (
+  SELECT b, coalesce(sum(c) OVER (ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM counts
+), idx AS (
+  SELECT bk.e,
+         (o.off + row_number() OVER (PARTITION BY bk.b ORDER BY bk.e) - 1)
+           AS idx
+  FROM bk JOIN offs o USING (b)
+), n AS (
+  SELECT count(*)::BIGINT AS n FROM idx
+), expanded AS (
+  SELECT subj, pred, obj, j
+  FROM t CROSS JOIN (SELECT unnest(generate_series(0, {NEG_SAMPLE_K - 1}))
+                     AS j)
+), cand AS (
+  SELECT x.subj, x.pred, x.obj, x.j, i.e AS neg_obj
+  FROM expanded x CROSS JOIN n
+  JOIN idx i ON i.idx = ('0x' || substr(md5(
+      x.subj || '|' || x.pred || '|' || x.obj || '|' || x.j::VARCHAR
+      || '|' || '{NEG_SAMPLE_SEED}'), 1, 8))::BIGINT % n.n
+  WHERE i.e != x.obj
+)
+SELECT c.subj, c.pred, c.obj, c.j::BIGINT AS j, c.neg_obj
+FROM cand c
+LEFT JOIN t tt
+  ON tt.subj = c.subj AND tt.pred = c.pred AND tt.obj = c.neg_obj
+WHERE tt.subj IS NULL
+"""
+
+
+def q_kg_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology constraint validation: per-subject distinct-object counts
+    for the declared functional predicates, with violation flags — the QA
+    report a KG build ships with its snapshot."""
+    from .operators.kg_train import cardinality_check
+
+    t = q_kg_triples(spark, sf_dir).select("subj", "pred", "obj")
+    return cardinality_check(t, FUNCTIONAL_PREDS)
+
+
+KG_CARDINALITY_ORACLE = f"""
+WITH rels AS ({{rels}}),
+t AS (
+  SELECT DISTINCT head_surface AS subj, label AS pred, tail_surface AS obj
+  FROM rels
+)
+SELECT subj, pred, count(DISTINCT obj)::BIGINT AS n_objects,
+       count(DISTINCT obj) > 1 AS violates_functional
+FROM t WHERE pred IN ({",".join(f"'{p}'" for p in FUNCTIONAL_PREDS)})
+GROUP BY subj, pred
+"""
+
+
 def q_kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast alias-dictionary linking; per-entity mention counts."""
     m = mentions_df(spark, sf_dir)
@@ -5485,4 +5567,16 @@ QUERIES: dict[str, tuple] = {
     "kg_graph_degrees": (q_kg_graph_degrees, KG_GRAPH_DEGREES_ORACLE),
     "dedup_cross_corpus": (q_dedup_cross_corpus, CROSS_CORPUS_ORACLE),
     "corpus_mixture": (q_corpus_mixture, CORPUS_MIXTURE_ORACLE),
+    "kg_negative_samples": (
+        q_kg_negative_samples,
+        KG_NEGATIVE_SAMPLES_ORACLE.format(
+            rels=_relations_oracle(MAX_REL_DISTANCE)
+        ),
+    ),
+    "kg_cardinality_check": (
+        q_kg_cardinality_check,
+        KG_CARDINALITY_ORACLE.format(
+            rels=_relations_oracle(MAX_REL_DISTANCE)
+        ),
+    ),
 }
