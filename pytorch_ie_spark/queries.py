@@ -1590,6 +1590,90 @@ FROM scaled
 """
 
 
+def q_embedding_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (nearest-class-mean prototypes / the
+    k-means update step IVF training runs): elementwise mean per label in
+    long form (label, dim, n, centroid). Per-element values quantize to
+    DECIMAL(18,6) BEFORE the sum — exact, order-independent aggregation
+    (the pagerank/money-sum pattern); explode + keyed partial aggregation
+    is map-side combinable, shuffling only label x dim keys."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    agg = ex.groupBy("label", "dim").agg(
+        F.sum(
+            F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+            "centroid"
+        ),
+    )
+
+
+EMBEDDING_CENTROIDS_ORACLE = """
+WITH ex AS (
+  SELECT label::BIGINT AS label,
+         (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, dim, count(*)::BIGINT AS n,
+  round(CAST(sum(CAST(round(v::DOUBLE, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        / count(*), 6) AS centroid
+FROM ex GROUP BY label, dim
+"""
+
+
+def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reachability over the doc-link graph: (a, c) pairs reachable
+    via some b but NOT directly linked and not reflexive — the
+    link-recommendation / path-feature join (one self-join + one
+    anti-join, both keyed)."""
+    e = _doc_chain_edges(spark, sf_dir).dropDuplicates(["src", "dst"])
+    e2 = e.select(
+        F.col("src").alias("mid"), F.col("dst").alias("two_hop")
+    )
+    hops = (
+        e.join(e2, e.dst == e2.mid)
+        .select(F.col("src").alias("a"), F.col("two_hop").alias("c"))
+        .where(F.col("a") != F.col("c"))
+        .dropDuplicates(["a", "c"])
+    )
+    direct = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return hops.join(direct, ["a", "c"], "left_anti")
+
+
+KG_TWO_HOP_ORACLE = f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id::BIGINT AS doc_id, surface FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS surface
+    FROM documents
+  ) WHERE surface IN ({",".join(f"'{w}'" for w in GAZETTEER)})
+), chained AS (
+  SELECT doc_id AS src,
+         lead(doc_id) OVER (PARTITION BY surface ORDER BY doc_id) AS dst
+  FROM ds
+), edges AS (
+  SELECT DISTINCT src, dst FROM chained WHERE dst IS NOT NULL
+), hops AS (
+  SELECT DISTINCT e1.src AS a, e2.dst AS c
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  WHERE e1.src != e2.dst
+)
+SELECT h.a, h.c FROM hops h
+LEFT JOIN edges d ON d.src = h.a AND d.dst = h.c
+WHERE d.src IS NULL
+"""
+
+
 def q_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus length statistics: doc count, token total, mean
     and exact p25/p50/p75 token-count percentiles (Spark `percentile` and
@@ -5579,4 +5663,9 @@ QUERIES: dict[str, tuple] = {
             rels=_relations_oracle(MAX_REL_DISTANCE)
         ),
     ),
+    "embedding_class_centroids": (
+        q_embedding_class_centroids,
+        EMBEDDING_CENTROIDS_ORACLE,
+    ),
+    "kg_two_hop": (q_kg_two_hop, KG_TWO_HOP_ORACLE),
 }
