@@ -58,7 +58,11 @@ def pagerank_converged(
     The delta check is one max-aggregate per sweep (a scalar to the
     driver); each sweep's frame is localCheckpoint-pinned so sweep k+1 and
     the delta probe don't replay sweeps 1..k."""
-    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    e = (
+        edges.select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -66,7 +70,9 @@ def pagerank_converged(
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    out_deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("out_deg")
+    ).localCheckpoint(eager=False)
     pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes)).localCheckpoint(
         eager=False
     )
@@ -125,7 +131,14 @@ def pagerank(
     Contributions quantize to DECIMAL(30,12) pre-sum for order-independent
     exactness (see module docstring).
     """
-    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    # pin edges, nodes, and degrees: each is referenced once PER SWEEP, and
+    # exchange reuse does not cover the upstream scan+dedup subtree
+    # (measured: 7 FileScans of one input without the pins)
+    e = (
+        edges.select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -135,7 +148,9 @@ def pagerank(
     )
     if n_nodes is None:
         n_nodes = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    out_deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("out_deg")
+    ).localCheckpoint(eager=False)
     pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
     for _ in range(iterations):
