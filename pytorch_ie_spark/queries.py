@@ -154,6 +154,11 @@ def mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded
         .withColumn("end", (F.col("start") + F.length("surface")).cast("long"))
         .withColumn("label", _gaz_label_col())
+        # pin: most consumers self-join this frame (candidate pairs,
+        # reversed relations, coref, pointer round-trips), and the
+        # aggregate-HOF extraction would otherwise re-run once per join
+        # side; the mention frame itself is small (gazetteer hits only)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -3460,7 +3465,10 @@ def _token_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.re_encoding import token_distance_col, token_mentions
 
     docs = read_table(spark, sf_dir, "documents")
-    toks = token_mentions(docs, list(GAZETTEER))
+    # pin: the explode+filter runs once, not once per join side (h AND t)
+    toks = token_mentions(docs, list(GAZETTEER)).localCheckpoint(
+        eager=False
+    )
     lens = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(F.split("text", " ")).cast("long").alias("seq_len"),
