@@ -103,10 +103,21 @@ def _rule_case_sql(h="head_label", t="tail_label") -> str:
 # ------------------------------------------------------------- KG pipeline
 
 def mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer mentions with char offsets — the pinned frame every
+    consumer shares (see _mentions_df_unpinned for the actual plan; the
+    lazy checkpoint hides it behind a Scan ExistingRDD node)."""
+    return _mentions_df_unpinned(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+
+
+def _mentions_df_unpinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gazetteer mentions with char offsets over the synthetic documents
     table — token offsets computed with array HOFs (no shuffle, no UDF;
     the 100 TB pipeline path does the same inside mapInPandas, see
-    operators/mentions.py)."""
+    operators/mentions.py). Plan-property tests assert on THIS variant
+    (fan-out before the HOF, pruned scan); mentions_df pins it because
+    most consumers self-join the frame."""
     from .plans.skew import ensure_parallelism
 
     # the sf0.1 documents parquet is a single row group -> ONE scan task;
@@ -154,11 +165,6 @@ def mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded
         .withColumn("end", (F.col("start") + F.length("surface")).cast("long"))
         .withColumn("label", _gaz_label_col())
-        # pin: most consumers self-join this frame (candidate pairs,
-        # reversed relations, coref, pointer round-trips), and the
-        # aggregate-HOF extraction would otherwise re-run once per join
-        # side; the mention frame itself is small (gazetteer hits only)
-        .localCheckpoint(eager=False)
     )
 
 

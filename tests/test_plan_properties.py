@@ -39,10 +39,12 @@ def test_entity_linking_broadcasts_the_dictionary(spark, sf001):
 
 def test_mentions_scan_prunes_columns(spark, sf001):
     """The documents scan for mention detection must read only the columns
-    the query needs (doc_id, text) — not lang/source/n_chars."""
-    from pytorch_ie_spark.queries import q_kg_mentions
+    the query needs (doc_id, text) — not lang/source/n_chars. Asserted on
+    the UNPINNED mention frame: the shared pinned one hides its lineage
+    behind a Scan ExistingRDD node."""
+    from pytorch_ie_spark.queries import _mentions_df_unpinned
 
-    plan = _plan(q_kg_mentions(spark, sf001))
+    plan = _plan(_mentions_df_unpinned(spark, sf001))
     scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
     assert scan_lines
     for l in scan_lines:
@@ -100,14 +102,17 @@ def test_mentions_lineage_scan_is_parallel(spark, sf001):
     seq2seq round-trips) must fan it out BEFORE the aggregate-HOF mention
     projection, or the whole chain materializes on one core the first time
     a checkpoint touches it (the round-3 kg_reversed_relations defect)."""
-    from pytorch_ie_spark.queries import mentions_df
+    from pytorch_ie_spark.queries import _mentions_df_unpinned, mentions_df
 
     m = mentions_df(spark, sf001)
     target = spark.sparkContext.defaultParallelism
+    # the pinned frame KEEPS the fan-out's partitioning
     assert m.rdd.getNumPartitions() >= min(target, 8)
-    # and the exchange sits in the plan (round-robin repartition), so the
-    # fan-out is part of the lineage any lazy checkpoint replays
-    assert "roundrobinpartitioning" in _plan(m).lower()
+    # and the exchange sits in the (unpinned) lineage the lazy checkpoint
+    # materializes — round-robin repartition before the HOF
+    assert "roundrobinpartitioning" in _plan(
+        _mentions_df_unpinned(spark, sf001)
+    ).lower()
 
 
 def test_contamination_broadcasts_benchmark_grams(spark, sf001):
