@@ -2129,6 +2129,98 @@ FROM with_sid GROUP BY 1, 2
 """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_S = 86400  # each step must convert within 24h of the last
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel (view -> click -> purchase) per
+    user, first-touch attribution: stage k is reached at the FIRST step-k
+    event strictly after the stage k-1 timestamp and within the 24h
+    conversion window (no funnel restart on later views). One shuffle:
+    per-user sorted event array + a JVM fold (state = stage + the three
+    stage timestamps) — the oracle computes the same thing as a
+    windowed min-timestamp chain, so any fold/ordering/window bug breaks
+    the hash. Epochs second-truncated like the other events queries."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.struct(F.col("ts"), F.col("event_type")).alias("e"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("e")).alias("seq")
+    )
+    nt = F.lit(None).cast("timestamp")
+
+    def st(stage, t1, t2, t3):
+        return F.struct(
+            F.lit(stage).alias("stage") if isinstance(stage, int) else stage.alias("stage"),
+            t1.alias("t1"), t2.alias("t2"), t3.alias("t3"),
+        )
+
+    s1, s2, s3 = FUNNEL_STEPS
+    fold = F.aggregate(
+        F.col("seq"),
+        st(0, nt, nt, nt),
+        lambda acc, e: F.when(
+            (acc["stage"] == 0) & (e["event_type"] == s1),
+            st(1, e["ts"], nt, nt),
+        )
+        .when(
+            (acc["stage"] == 1)
+            & (e["event_type"] == s2)
+            & (e["ts"] > acc["t1"])
+            & (e["ts"] <= acc["t1"] + F.expr(f"INTERVAL {FUNNEL_WINDOW_S} SECONDS")),
+            st(2, acc["t1"], e["ts"], nt),
+        )
+        .when(
+            (acc["stage"] == 2)
+            & (e["event_type"] == s3)
+            & (e["ts"] > acc["t2"])
+            & (e["ts"] <= acc["t2"] + F.expr(f"INTERVAL {FUNNEL_WINDOW_S} SECONDS")),
+            st(3, acc["t1"], acc["t2"], e["ts"]),
+        )
+        .otherwise(acc),
+    )
+    return seq.select(
+        "user_id",
+        fold["stage"].cast("long").alias("funnel_stage"),
+        F.unix_timestamp(fold["t1"]).cast("long").alias("view_epoch"),
+        F.unix_timestamp(fold["t2"]).cast("long").alias("click_epoch"),
+        F.unix_timestamp(fold["t3"]).cast("long").alias("purchase_epoch"),
+    )
+
+
+EVENTS_FUNNEL_ORACLE = f"""
+WITH u AS (
+  SELECT DISTINCT user_id::BIGINT AS user_id FROM events
+), v AS (
+  SELECT user_id::BIGINT AS user_id, min(ts) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id::BIGINT AS user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id::BIGINT
+    AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL {FUNNEL_WINDOW_S} SECOND
+  WHERE e.event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT e.user_id::BIGINT AS user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id::BIGINT
+    AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL {FUNNEL_WINDOW_S} SECOND
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT u.user_id,
+  (CASE WHEN p.t3 IS NOT NULL THEN 3 WHEN c.t2 IS NOT NULL THEN 2
+        WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS funnel_stage,
+  floor(epoch(v.t1))::BIGINT AS view_epoch,
+  CASE WHEN c.t2 IS NOT NULL THEN floor(epoch(c.t2))::BIGINT END
+    AS click_epoch,
+  CASE WHEN p.t3 IS NOT NULL THEN floor(epoch(p.t3))::BIGINT END
+    AS purchase_epoch
+FROM u LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     return (
@@ -5682,4 +5774,5 @@ QUERIES: dict[str, tuple] = {
         EMBEDDING_CENTROIDS_ORACLE,
     ),
     "kg_two_hop": (q_kg_two_hop, KG_TWO_HOP_ORACLE),
+    "events_funnel": (q_events_funnel, EVENTS_FUNNEL_ORACLE),
 }
