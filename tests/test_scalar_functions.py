@@ -57,3 +57,47 @@ def test_insert_markers_multi_token_and_reverse_order():
     assert out == ["[T]", "w", "[/T]", "x", "[H]", "y", "z", "[/H]"]
     assert out[head[0] : head[1] + 1] == ["y", "z"]
     assert out[tail[0] : tail[1] + 1] == ["w"]
+
+
+def test_events_funnel_fold_edges(spark):
+    """Funnel fold edge cases: pre-view clicks skipped, same-timestamp
+    click excluded (strict >), window expiry stops the stage, no restart
+    on later views (first-touch attribution)."""
+    from datetime import datetime, timedelta
+
+    from pytorch_ie_spark.queries import q_events_funnel
+
+    t0 = datetime(2024, 1, 1)
+
+    def rows(user, seq):
+        return [
+            (user * 100 + i, t0 + timedelta(seconds=s), user, ty, 1.0, "{}")
+            for i, (s, ty) in enumerate(seq)
+        ]
+
+    data = (
+        # u1: clean conversion inside the windows
+        rows(1, [(0, "view"), (10, "click"), (20, "purchase")])
+        # u2: click BEFORE the first view -> not counted; no later click
+        + rows(2, [(0, "click"), (10, "view"), (20, "purchase")])
+        # u3: click at the SAME timestamp as the view -> strict > excludes
+        + rows(3, [(0, "view"), (0, "click")])
+        # u4: click outside the 24h window -> stalls at stage 1, and the
+        # later view does NOT restart the funnel
+        + rows(4, [(0, "view"), (90000, "view"), (90010, "click")])
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="funnel_")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    out = {r["user_id"]: r for r in q_events_funnel(spark, d).collect()}
+    assert out[1]["funnel_stage"] == 3
+    assert out[2]["funnel_stage"] == 1  # pre-view click never counts
+    assert out[3]["funnel_stage"] == 1  # strict ordering at equal ts
+    assert out[4]["funnel_stage"] == 1  # window expired; no restart
+    assert out[4]["click_epoch"] is None
