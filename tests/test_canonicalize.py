@@ -165,3 +165,30 @@ def test_cc_distributed_dispatch_equals_driver_path(spark, sf_dir):
         for r in connected_components(edges, driver_threshold=0).collect()
     }
     assert driver == distributed and len(driver) > 0
+
+
+def test_canonicalize_logs_dropped_buckets(spark, caplog):
+    """When the quadratic-bucket cap engages, canonicalize_mentions must
+    WARN with the dropped-bucket counts (the observability contract for
+    the approximation)."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from pytorch_ie_spark.operators.canonicalize import canonicalize_mentions
+
+    # hundreds of near-identical surfaces -> one degenerate band bucket
+    # 300 DISTINCT surfaces dominated by one shared boilerplate prefix:
+    # their minhash bands collide into a degenerate bucket > max_bucket
+    mentions = spark.range(300).select(
+        F.concat(F.lit("m"), F.col("id")).alias("mention_id"),
+        F.concat(
+            F.lit("the same exact shared boilerplate surface text number "),
+            F.col("id").cast("string"),
+        ).alias("surface"),
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="pytorch_ie_spark.operators.canonicalize"):
+        mapped, _ = canonicalize_mentions(mentions, max_bucket=10)
+        mapped.count()
+    assert any("dropped" in r.message for r in caplog.records)

@@ -95,3 +95,24 @@ def test_uniform_corpus_cap_is_noop(spark):
         ).collect()
     }
     assert capped == exact
+
+
+def test_cross_corpus_flags_only_cross_side_pairs(spark):
+    from pytorch_ie_spark.operators.dedup import cross_corpus_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    new = spark.createDataFrame(
+        [(1, base + " tail one"), (2, "totally different new content here")],
+        "doc_id long, text string",
+    )
+    index = spark.createDataFrame(
+        [(100, base + " tail two"), (101, base + " tail three"),
+         (102, "unrelated index document content")],
+        "doc_id long, text string",
+    )
+    out = cross_corpus_near_dups(new, index, jaccard_threshold=0.5).collect()
+    got = {(r["new_id"], r["index_id"]) for r in out}
+    # doc 1 near-dups both boilerplate index docs; doc 2 matches nothing;
+    # index-index near-dup (100, 101) must NOT appear
+    assert got == {(1, 100), (1, 101)}
+    assert all(r["jaccard"] >= 0.5 for r in out)
