@@ -1720,6 +1720,144 @@ FROM toks GROUP BY lang
 """
 
 
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram diversity (distinct-n, the standard text-
+    diversity measure): for n in 1..3, distinct grams / total gram
+    occurrences over the whole corpus — one explode per n, two
+    map-side-combinable aggregates each, unioned into a 3-row report."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+    def gram_fn(n):
+        # a closure, NOT `lambda i, n=n`: a binary HOF lambda receives the
+        # array INDEX as its second argument, silently shadowing n
+        return lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))
+
+    parts = []
+    for n in (1, 2, 3):
+        grams = docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))
+                    ),
+                    gram_fn(n),
+                )
+            ).alias("gram")
+        )
+        parts.append(
+            grams.agg(
+                F.lit(n).cast("long").alias("n"),
+                F.countDistinct("gram").alias("distinct_grams"),
+                F.count(F.lit(1)).alias("total_grams"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "n",
+        F.col("distinct_grams").cast("long").alias("distinct_grams"),
+        F.col("total_grams").cast("long").alias("total_grams"),
+        F.round(F.col("distinct_grams") / F.col("total_grams"), 6).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+def _diversity_oracle_part(n: int) -> str:
+    return f"""
+SELECT {n}::BIGINT AS n,
+  count(DISTINCT gram)::BIGINT AS distinct_grams,
+  count(*)::BIGINT AS total_grams,
+  round(count(DISTINCT gram) / count(*)::DOUBLE, 6) AS distinct_ratio
+FROM (
+  SELECT array_to_string(tk[i:i+{n - 1}], ' ') AS gram
+  FROM (
+    SELECT string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),
+           ' ') AS tk
+    FROM documents
+  ), unnest(generate_series(1, greatest(len(tk) - {n - 1}, 1))) AS t(i)
+)"""
+
+
+CORPUS_DIVERSITY_ORACLE = " UNION ALL ".join(
+    _diversity_oracle_part(n) for n in (1, 2, 3)
+)
+
+
+def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report: doc count, token total, mean distinct-
+    token ratio, and the dominant language with its share — the per-feed
+    quality dashboard a crawling pipeline reviews before admission."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "dr"
+        ),
+    )
+    lang_counts = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top_lang = lang_counts.groupBy("source").agg(
+        # highest count, lexicographically smallest lang on ties
+        F.min(F.struct((-F.col("c")).alias("neg"), F.col("lang"))).alias(
+            "top"
+        ),
+        F.sum("c").alias("total"),
+    ).select(
+        "source",
+        F.col("top.lang").alias("top_lang"),
+        F.round((-F.col("top.neg")) / F.col("total"), 6).alias(
+            "top_lang_share"
+        ),
+    )
+    stats = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        # mean over already-rounded per-doc ratios: DECIMAL-quantized so
+        # the sum is exact and order-independent
+        F.round(
+            F.sum(F.col("dr").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_distinct_ratio"),
+    )
+    return stats.join(top_lang, "source")
+
+
+CORPUS_SOURCE_STATS_ORACLE = """
+WITH per_doc AS (
+  SELECT source, lang,
+    len(string_split(text, ' '))::BIGINT AS n_toks,
+    round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+          / len(string_split(text, ' ')), 6) AS dr
+  FROM documents
+), lc AS (
+  SELECT source, lang, count(*) AS c FROM per_doc GROUP BY 1, 2
+), top AS (
+  SELECT source, lang AS top_lang,
+         round(c / sum(c) OVER (PARTITION BY source)::DOUBLE, 6)
+           AS top_lang_share
+  FROM lc
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) = 1
+), stats AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+    sum(n_toks)::BIGINT AS total_tokens,
+    round(CAST(sum(CAST(dr AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+      AS mean_distinct_ratio
+  FROM per_doc GROUP BY source
+)
+SELECT s.source, s.n_docs, s.total_tokens, s.mean_distinct_ratio,
+       t.top_lang, t.top_lang_share
+FROM stats s JOIN top t USING (source)
+"""
+
+
 CURATION_MIN_DISTINCT_RATIO = 0.45
 
 
@@ -5775,4 +5913,6 @@ QUERIES: dict[str, tuple] = {
     ),
     "kg_two_hop": (q_kg_two_hop, KG_TWO_HOP_ORACLE),
     "events_funnel": (q_events_funnel, EVENTS_FUNNEL_ORACLE),
+    "corpus_diversity": (q_corpus_diversity, CORPUS_DIVERSITY_ORACLE),
+    "corpus_source_stats": (q_corpus_source_stats, CORPUS_SOURCE_STATS_ORACLE),
 }
