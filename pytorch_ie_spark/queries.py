@@ -1720,6 +1720,119 @@ FROM toks GROUP BY lang
 """
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy (the CCNet-style perplexity filter, with
+    the corpus itself as the LM): per document, the mean negative log
+    probability of its tokens under corpus unigram frequencies — high
+    values flag out-of-distribution/noisy documents. One frequency
+    aggregate (vocabulary-sized, broadcast back) + one per-doc mean with
+    DECIMAL-quantized terms so the float sum is order-independent."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
+            "term"
+        ),
+    ).where(F.length("term") > 0)
+    freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.count()  # one scalar
+    nll = F.round(
+        -F.log(F.col("tf") / F.lit(float(total))), 9
+    ).cast("decimal(20,9)")
+    scored = toks.join(F.broadcast(freqs), "term").select(
+        "doc_id", nll.alias("nll")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("nll").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_nll"),
+    )
+
+
+TEXT_UNIGRAM_LOGPROB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),
+                ' ')) AS term
+  FROM documents
+), tk AS (
+  SELECT * FROM toks WHERE length(term) > 0
+), freqs AS (
+  SELECT term, count(*)::BIGINT AS tf FROM tk GROUP BY term
+), total AS (
+  SELECT count(*)::BIGINT AS n FROM tk
+), scored AS (
+  SELECT t.doc_id,
+    CAST(round(-ln(f.tf / total.n::DOUBLE), 9) AS DECIMAL(20,9)) AS nll
+  FROM tk t JOIN freqs f USING (term) CROSS JOIN total
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS mean_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+WINNOW_K = 5  # char k-gram width
+WINNOW_W = 4  # winnowing window (hashes per window)
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. SIGMOD'03, the
+    MOSS scheme): hash every K-char gram, slide a W-hash window, keep each
+    window's minimum — guarantees any shared substring of length
+    K + W - 1 produces a shared fingerprint, at ~2/(W+1) density. Emitted
+    as the (doc_id, fingerprint) inverted-index rows a plagiarism /
+    near-dup lookup joins on. Pure JVM array expressions; value-set
+    semantics make the rightmost-tie rule immaterial."""
+    docs = read_table(spark, sf_dir, "documents")
+    s = normalize_text(F.col("text"))
+    n = F.length(s)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (WINNOW_K - 1), F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(s.substr(i, F.lit(WINNOW_K))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(hashes) - (WINNOW_W - 1), F.lit(1)),
+            ),
+            lambda j: F.array_min(F.slice(hashes, j, WINNOW_W)),
+        )
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(fps).alias("fingerprint"),
+    )
+
+
+TEXT_WINNOWING_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         trim(regexp_replace(lower(text),'\\s+',' ','g')) AS s
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    list_transform(
+      generate_series(1, greatest(length(s) - {WINNOW_K - 1}, 1)),
+      i -> ('0x' || substr(md5(substr(s, i::BIGINT, {WINNOW_K})), 1, 8))
+           ::BIGINT) AS hs
+  FROM base
+), w AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(hs) - {WINNOW_W - 1}, 1)),
+      j -> list_aggregate(hs[j::BIGINT : (j + {WINNOW_W - 1})::BIGINT],
+                          'min'))) AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM w
+"""
+
+
 def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level n-gram diversity (distinct-n, the standard text-
     diversity measure): for n in 1..3, distinct grams / total gram
@@ -5914,5 +6027,7 @@ QUERIES: dict[str, tuple] = {
     "kg_two_hop": (q_kg_two_hop, KG_TWO_HOP_ORACLE),
     "events_funnel": (q_events_funnel, EVENTS_FUNNEL_ORACLE),
     "corpus_diversity": (q_corpus_diversity, CORPUS_DIVERSITY_ORACLE),
+    "text_unigram_logprob": (q_text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_ORACLE),
+    "text_winnowing": (q_text_winnowing, TEXT_WINNOWING_ORACLE),
     "corpus_source_stats": (q_corpus_source_stats, CORPUS_SOURCE_STATS_ORACLE),
 }

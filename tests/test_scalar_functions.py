@@ -101,3 +101,30 @@ def test_events_funnel_fold_edges(spark):
     assert out[3]["funnel_stage"] == 1  # strict ordering at equal ts
     assert out[4]["funnel_stage"] == 1  # window expired; no restart
     assert out[4]["click_epoch"] is None
+
+
+def test_winnowing_shared_substring_guarantee(spark, tmp_path):
+    """Schleimer et al.'s guarantee: any shared substring of length
+    K + W - 1 (= 8 chars here) yields at least one shared fingerprint;
+    unrelated docs share none."""
+    import os
+
+    from pytorch_ie_spark.queries import q_text_winnowing
+
+    shared = "xqzwvkyjt"  # 9 chars > K+W-1, absent from the other texts
+    docs = [
+        (1, f"aaaa bbbb {shared} cccc dddd"),
+        (2, f"eeee ffff gggg {shared} hhhh"),
+        (3, "iiii jjjj kkkk llll mmmm nnnn"),
+    ]
+    d = str(tmp_path / "win")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    fps = {}
+    for r in q_text_winnowing(spark, d).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2]       # the guarantee
+    assert not (fps[1] & fps[3])  # unrelated docs do not collide
+    assert not (fps[2] & fps[3])
