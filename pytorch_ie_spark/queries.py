@@ -1833,6 +1833,66 @@ SELECT doc_id, unnest(fps) AS fingerprint FROM w
 """
 
 
+WINNOW_JACCARD = 0.5  # fingerprint-set resemblance threshold
+
+
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs from the winnowing index: inverted-index
+    self-join on fingerprints (never all-pairs), then fingerprint-SET
+    Jaccard per candidate pair against the per-doc index sizes —
+    length-normalized, unlike a raw shared count. The winnowed index is
+    ~2/(W+1) the density of the full gram index, so the posting lists the
+    join fans out over are proportionally smaller than ngram_jaccard's —
+    the standard scale trade of fingerprint-based dedup."""
+    fps = q_text_winnowing(spark, sf_dir).localCheckpoint(eager=False)
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select("fingerprint", F.col("doc_id").alias("src_id"))
+    b = fps.select("fingerprint", F.col("doc_id").alias("dst_id"))
+    shared = (
+        a.join(b, "fingerprint")
+        .where(F.col("src_id") < F.col("dst_id"))
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("src_id"), F.col("n_fp").alias("src_n"))
+    sb = sizes.select(F.col("doc_id").alias("dst_id"), F.col("n_fp").alias("dst_n"))
+    jac = F.round(
+        F.col("shared")
+        / (F.col("src_n") + F.col("dst_n") - F.col("shared")),
+        6,
+    )
+    return (
+        shared.join(sa, "src_id")
+        .join(sb, "dst_id")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= WINNOW_JACCARD)
+        .select(
+            "src_id", "dst_id",
+            F.col("shared").cast("long").alias("shared_fps"), "jaccard",
+        )
+    )
+
+
+DEDUP_WINNOW_PAIRS_ORACLE = f"""
+WITH fps AS ({TEXT_WINNOWING_ORACLE}), sz AS (
+  SELECT doc_id, count(*)::BIGINT AS n_fp FROM fps GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*)::BIGINT AS shared
+  FROM fps a JOIN fps b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.src_id, s.dst_id, s.shared AS shared_fps,
+       round(s.shared / (sa.n_fp + sb.n_fp - s.shared)::DOUBLE, 6)
+         AS jaccard
+FROM shared s
+JOIN sz sa ON sa.doc_id = s.src_id
+JOIN sz sb ON sb.doc_id = s.dst_id
+WHERE round(s.shared / (sa.n_fp + sb.n_fp - s.shared)::DOUBLE, 6)
+      >= {WINNOW_JACCARD}
+"""
+
+
 def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level n-gram diversity (distinct-n, the standard text-
     diversity measure): for n in 1..3, distinct grams / total gram
@@ -6029,5 +6089,6 @@ QUERIES: dict[str, tuple] = {
     "corpus_diversity": (q_corpus_diversity, CORPUS_DIVERSITY_ORACLE),
     "text_unigram_logprob": (q_text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_ORACLE),
     "text_winnowing": (q_text_winnowing, TEXT_WINNOWING_ORACLE),
+    "dedup_winnow_pairs": (q_dedup_winnow_pairs, DEDUP_WINNOW_PAIRS_ORACLE),
     "corpus_source_stats": (q_corpus_source_stats, CORPUS_SOURCE_STATS_ORACLE),
 }
