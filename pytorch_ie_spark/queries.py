@@ -5306,6 +5306,63 @@ FROM best
 """
 
 
+def q_doc_label_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table over the doc-classifier confidences (the
+    configure_model_metric calibration analog): decile-bin the softmax
+    scores, per bin report count, DECIMAL-exact mean confidence, and
+    accuracy against a deterministic synthetic gold (DOC_LABELS[doc_id %
+    n]). A calibrated model shows accuracy ≈ confidence per bin; the
+    md5-mock shows flat ~1/n accuracy — which is exactly what the
+    diagnostic exists to reveal."""
+    from .operators.doc_classify import DOC_LABELS
+
+    preds = q_doc_label(spark, sf_dir)
+    gold = None
+    for i, lab in enumerate(DOC_LABELS):
+        cond = F.col("doc_id") % len(DOC_LABELS) == i
+        gold = (
+            F.when(cond, F.lit(lab))
+            if gold is None
+            else gold.when(cond, F.lit(lab))
+        )
+    binned = preds.select(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9)).alias(
+            "bin"
+        ),
+        F.col("score").cast("decimal(10,4)").alias("s"),
+        (F.col("label") == gold).cast("int").alias("hit"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_confidence"
+        ),
+        F.round(F.sum("hit") / F.count(F.lit(1)), 6).alias("accuracy"),
+    )
+
+
+def _doc_label_calibration_oracle() -> str:
+    from .operators.doc_classify import DOC_LABELS
+
+    gold_case = " ".join(
+        f"WHEN {i} THEN '{lab}'" for i, lab in enumerate(DOC_LABELS)
+    )
+    return f"""
+WITH preds AS ({_doc_label_oracle()}),
+binned AS (
+  SELECT least(floor(score * 10)::BIGINT, 9) AS bin,
+         CAST(score AS DECIMAL(10,4)) AS s,
+         CASE WHEN label = (CASE doc_id % {len(DOC_LABELS)} {gold_case} END)
+              THEN 1 ELSE 0 END AS hit
+  FROM preds
+)
+SELECT bin, count(*)::BIGINT AS n,
+  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_confidence,
+  round(sum(hit) / count(*)::DOUBLE, 6) AS accuracy
+FROM binned GROUP BY bin
+"""
+
+
 # --------------------- label-vocabulary _prepare (taskmodule, BIO-expanded)
 
 
@@ -6040,6 +6097,7 @@ QUERIES: dict[str, tuple] = {
     "io_tag_spans": (q_io_tag_spans, IO_TAG_SPANS_ORACLE),
     # document-level text-classification taskmodule (encode->forward->unbatch)
     "doc_label": (q_doc_label, _doc_label_oracle()),
+    "doc_label_calibration": (q_doc_label_calibration, _doc_label_calibration_oracle()),
     # GENRE-style trie-constrained generative entity linking
     "kg_entity_linking_gen": (
         q_kg_entity_linking_gen,
