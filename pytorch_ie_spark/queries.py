@@ -1074,6 +1074,44 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the IVF scale path against the
+    brute-force ground truth, per query — the measurement that justifies
+    an approximate index before it replaces the exact scan at corpus
+    scale (nprobe tuning reads exactly this table)."""
+    bf = q_ann_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("true_neighbor")
+    )
+    ivf = q_ann_ivf(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    j = bf.join(
+        ivf,
+        (bf.query_id == ivf.query_id)
+        & (F.col("true_neighbor") == F.col("ivf_neighbor")),
+        "left",
+    ).select(bf.query_id, "true_neighbor", "ivf_neighbor")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.count("ivf_neighbor").cast("long").alias("n_found"),
+        F.round(F.count("ivf_neighbor") / F.count(F.lit(1)), 6).alias(
+            "recall"
+        ),
+    )
+
+
+ANN_IVF_RECALL_ORACLE = f"""
+WITH bf AS ({ANN_TOPK_ORACLE}), ivf AS ({ANN_IVF_ORACLE})
+SELECT b.query_id, count(*)::BIGINT AS k,
+  count(i.neighbor_id)::BIGINT AS n_found,
+  round(count(i.neighbor_id) / count(*)::DOUBLE, 6) AS recall
+FROM bf b LEFT JOIN ivf i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-dups blocked by the 8-plane LSH bucket — all-pairs only
     WITHIN a signature bucket. Blocking on a low-cardinality column (label)
@@ -6031,6 +6069,7 @@ QUERIES: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, ANN_TOPK_ORACLE),
     "ann_lsh_buckets": (q_ann_lsh_buckets, ANN_LSH_ORACLE),
     "ann_ivf": (q_ann_ivf, ANN_IVF_ORACLE),
+    "ann_ivf_recall": (q_ann_ivf_recall, ANN_IVF_RECALL_ORACLE),
     "embedding_near_dups": (q_embedding_near_dups, EMB_NEAR_DUP_ORACLE),
     # text analysis
     "text_stats": (q_text_stats, TEXT_STATS_ORACLE),
