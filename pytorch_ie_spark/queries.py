@@ -1758,6 +1758,53 @@ FROM toks GROUP BY lang
 """
 
 
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality filter (junk detector: base64 blobs,
+    minified code, and key-mashing score far from natural-language
+    entropy): per document, H = -Σ p_c·ln p_c over its character
+    distribution, DECIMAL-quantized terms so the sum is exact. One
+    explode + two keyed aggregations, map-side combinable."""
+    docs = read_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col("text")), "")).alias("c"),
+    ).where(F.length("c") > 0)
+    counts = chars.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    term = F.round(-p * F.log(p), 9).cast("decimal(20,9)")
+    return (
+        counts.join(totals, "doc_id")
+        .select("doc_id", F.col("total").cast("long").alias("n_chars"), term.alias("t"))
+        .groupBy("doc_id", "n_chars")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("char_entropy"))
+    )
+
+
+TEXT_CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(
+           trim(regexp_replace(lower(text),'\\s+',' ','g')), '')) AS c
+  FROM documents
+), ch AS (
+  SELECT * FROM chars WHERE length(c) > 0
+), counts AS (
+  SELECT doc_id, c, count(*)::BIGINT AS n FROM ch GROUP BY doc_id, c
+), totals AS (
+  SELECT doc_id, sum(n)::BIGINT AS total FROM counts GROUP BY doc_id
+)
+SELECT counts.doc_id, totals.total AS n_chars,
+  round(CAST(sum(CAST(round(-(n / total::DOUBLE)
+        * ln(n / total::DOUBLE), 9) AS DECIMAL(20,9))) AS DOUBLE), 6)
+    AS char_entropy
+FROM counts JOIN totals USING (doc_id)
+GROUP BY counts.doc_id, totals.total
+"""
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality proxy (the CCNet-style perplexity filter, with
     the corpus itself as the LM): per document, the mean negative log
@@ -6185,6 +6232,7 @@ QUERIES: dict[str, tuple] = {
     "events_funnel": (q_events_funnel, EVENTS_FUNNEL_ORACLE),
     "corpus_diversity": (q_corpus_diversity, CORPUS_DIVERSITY_ORACLE),
     "text_unigram_logprob": (q_text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_ORACLE),
+    "text_char_entropy": (q_text_char_entropy, TEXT_CHAR_ENTROPY_ORACLE),
     "text_winnowing": (q_text_winnowing, TEXT_WINNOWING_ORACLE),
     "dedup_winnow_pairs": (q_dedup_winnow_pairs, DEDUP_WINNOW_PAIRS_ORACLE),
     "corpus_source_stats": (q_corpus_source_stats, CORPUS_SOURCE_STATS_ORACLE),
