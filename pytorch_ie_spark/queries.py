@@ -1870,26 +1870,48 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the (doc_id, fingerprint) inverted-index rows a plagiarism /
     near-dup lookup joins on. Pure JVM array expressions; value-set
     semantics make the rightmost-tie rule immaterial."""
-    docs = read_table(spark, sf_dir, "documents")
-    s = normalize_text(F.col("text"))
-    n = F.length(s)
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (WINNOW_K - 1), F.lit(1))),
-        lambda i: F.conv(
-            F.substring(F.md5(s.substr(i, F.lit(WINNOW_K))), 1, 8), 16, 10
-        ).cast("long"),
-    )
+    from .plans.skew import ensure_parallelism
+
+    # the per-char md5 pass is compute-heavy and the single-row-group scan
+    # plans as ONE task — fan out before the pinned stages materialize
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    # STAGED with materialization barriers: CollapseProject would otherwise
+    # inline the hash-array expression into every window element (and the
+    # normalize regex into every hash element) — O(n²) recompute per doc,
+    # the round-3 expression-tree-blowup trap. Each pin makes the previous
+    # stage a plain in-memory column.
+    normed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        normalize_text(F.col("text")).alias("s"),
+    ).localCheckpoint(eager=False)
+    s = F.col("s")
+    hashed = normed.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(s) - (WINNOW_K - 1), F.lit(1)),
+            ),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(s.substr(i, F.lit(WINNOW_K))), 1, 8
+                ), 16, 10
+            ).cast("long"),
+        ).alias("hs"),
+    ).localCheckpoint(eager=False)
     fps = F.array_distinct(
         F.transform(
             F.sequence(
                 F.lit(1),
-                F.greatest(F.size(hashes) - (WINNOW_W - 1), F.lit(1)),
+                F.greatest(
+                    F.size(F.col("hs")) - (WINNOW_W - 1), F.lit(1)
+                ),
             ),
-            lambda j: F.array_min(F.slice(hashes, j, WINNOW_W)),
+            lambda j: F.array_min(F.slice(F.col("hs"), j, WINNOW_W)),
         )
     )
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+    return hashed.select(
+        "doc_id",
         F.explode(fps).alias("fingerprint"),
     )
 
@@ -1918,21 +1940,34 @@ SELECT doc_id, unnest(fps) AS fingerprint FROM w
 """
 
 
-WINNOW_JACCARD = 0.5  # fingerprint-set resemblance threshold
+WINNOW_JACCARD = 0.4  # fingerprint-set resemblance threshold
+WINNOW_MAX_POSTING = 100  # posting-list cap: on this tiny-vocab corpus
+#   (and on real corpora, via boilerplate) hot fingerprints make the exact
+#   self-join pair-quadratic; the cap is DETERMINISTIC and mirrored in the
+#   oracle, and — like ngram_jaccard's max_gram_freq — per-doc index sizes
+#   stay uncapped, so the Jaccard denominator is exact and the score a
+#   lower bound. Genuinely similar docs share RARE fingerprints, which
+#   always survive the cap.
 
 
 def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs from the winnowing index: inverted-index
-    self-join on fingerprints (never all-pairs), then fingerprint-SET
-    Jaccard per candidate pair against the per-doc index sizes —
-    length-normalized, unlike a raw shared count. The winnowed index is
-    ~2/(W+1) the density of the full gram index, so the posting lists the
-    join fans out over are proportionally smaller than ngram_jaccard's —
+    self-join on fingerprints (never all-pairs), posting lists over
+    WINNOW_MAX_POSTING dropped before the join (see constant note), then
+    fingerprint-SET Jaccard per candidate pair against the UNCAPPED
+    per-doc index sizes — length-normalized, unlike a raw shared count.
+    The winnowed index is ~2/(W+1) the density of the full gram index —
     the standard scale trade of fingerprint-based dedup."""
     fps = q_text_winnowing(spark, sf_dir).localCheckpoint(eager=False)
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = fps.select("fingerprint", F.col("doc_id").alias("src_id"))
-    b = fps.select("fingerprint", F.col("doc_id").alias("dst_id"))
+    freq = fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("_pf")
+    )
+    kept = fps.join(
+        freq.where(F.col("_pf") <= WINNOW_MAX_POSTING), "fingerprint"
+    ).drop("_pf")
+    a = kept.select("fingerprint", F.col("doc_id").alias("src_id"))
+    b = kept.select("fingerprint", F.col("doc_id").alias("dst_id"))
     shared = (
         a.join(b, "fingerprint")
         .where(F.col("src_id") < F.col("dst_id"))
@@ -1961,9 +1996,15 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_WINNOW_PAIRS_ORACLE = f"""
 WITH fps AS ({TEXT_WINNOWING_ORACLE}), sz AS (
   SELECT doc_id, count(*)::BIGINT AS n_fp FROM fps GROUP BY doc_id
+), freq AS (
+  SELECT fingerprint, count(*)::BIGINT AS pf FROM fps GROUP BY fingerprint
+), kept AS (
+  SELECT fps.doc_id, fps.fingerprint
+  FROM fps JOIN freq USING (fingerprint)
+  WHERE freq.pf <= {WINNOW_MAX_POSTING}
 ), shared AS (
   SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*)::BIGINT AS shared
-  FROM fps a JOIN fps b
+  FROM kept a JOIN kept b
     ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
