@@ -82,34 +82,53 @@ def coref_text_pairs(
     ctx = F.substring(
         F.col("text"), (ws + 1).cast("int"), (we - ws).cast("int")
     )
+    # Pin the shingled frame so the window/shingle HOFs run once for both
+    # join sides, then SPREAD the probe side before the pair join: the join
+    # fans out quadratically per block over a handful of distinct blocks, so
+    # left to itself the tiny (one row per (doc, block)) input coalesces to
+    # ~1 partition and the entire pair explosion runs on one core. An
+    # explicit round-robin repartition (user-specified N — AQE never
+    # coalesces it) bounds probe rows per task; the build side is the same
+    # pinned frame, broadcast (it is first-mention-per-(doc, block) sized,
+    # the blocked-coref contract; for a corpus whose firsts table exceeds
+    # broadcast limits, block_col is the knob — block on an LSH band or
+    # corpus partition so each block's pair volume is bounded).
     sided = with_ctx.select(
         "block",
         "doc_id",
         "start",
         char_shingles_col(ctx, shingle_k).alias("ctx_sh"),
-    )
-    a = sided
-    b = sided.select(
-        F.col("block").alias("block2"),
-        F.col("doc_id").alias("doc_id_pair"),
-        F.col("start").alias("start_pair"),
-        F.col("ctx_sh").alias("ctx_sh_pair"),
+    ).localCheckpoint(eager=False)
+    n_out = documents.sparkSession.sparkContext.defaultParallelism * 4
+    a = sided.repartition(n_out)
+    b = F.broadcast(
+        sided.select(
+            F.col("block").alias("block2"),
+            F.col("doc_id").alias("doc_id_pair"),
+            F.col("start").alias("start_pair"),
+            F.col("ctx_sh").alias("ctx_sh_pair"),
+        )
     )
     pairs = a.join(
         b,
-        (a.block == b.block2) & (F.col("doc_id") < F.col("doc_id_pair")),
+        (a.block == F.col("block2")) & (F.col("doc_id") < F.col("doc_id_pair")),
     )
     inter = F.size(F.array_intersect(F.col("ctx_sh"), F.col("ctx_sh_pair")))
     union = F.size("ctx_sh") + F.size("ctx_sh_pair") - inter
     score = F.round(inter / union, 6)
-    return pairs.select(
+    # two projects, not one: `score` is an expensive (array_intersect)
+    # expression referenced twice; as a separate non-cheap alias it is NOT
+    # inlined by CollapseProject, so the intersect runs once per pair
+    scored = pairs.select(
         "block",
         "doc_id",
         "start",
         "doc_id_pair",
         "start_pair",
         score.alias("score"),
-        (score >= threshold).alias("is_similar"),
+    )
+    return scored.select(
+        "*", (F.col("score") >= threshold).alias("is_similar")
     )
 
 
@@ -175,6 +194,12 @@ def coref_pairs_pooler_scored(
     )
     span_s = F.greatest(F.col("tok_start") - context_tokens, F.lit(0))
     span_e = F.least(F.col("tok_end") + context_tokens, F.col("n_toks"))
+    # Same pair-join treatment as coref_text_pairs: pin the pooled frame
+    # (md5 token-state generation + span max-pooling HOFs run once, not once
+    # per join side), spread the probe side with an explicit repartition so
+    # the per-block quadratic fan-out is generated by many tasks instead of
+    # one AQE-coalesced partition, and broadcast the (doc, block)-sized
+    # build side.
     sided = firsts.join(docs, "doc_id").select(
         "block",
         "doc_id",
@@ -182,26 +207,34 @@ def coref_pairs_pooler_scored(
         pool_span_max_vec(F.col("vecs"), span_s, span_e - span_s).alias(
             "pooled"
         ),
+    ).localCheckpoint(eager=False)
+    n_out = documents.sparkSession.sparkContext.defaultParallelism * 4
+    a = sided.repartition(n_out)
+    b = F.broadcast(
+        sided.select(
+            F.col("block").alias("block2"),
+            F.col("doc_id").alias("doc_id_pair"),
+            F.col("tok_start").alias("tok_start_pair"),
+            F.col("pooled").alias("pooled_pair"),
+        )
     )
-    b = sided.select(
-        F.col("block").alias("block2"),
-        F.col("doc_id").alias("doc_id_pair"),
-        F.col("tok_start").alias("tok_start_pair"),
-        F.col("pooled").alias("pooled_pair"),
-    )
-    pairs = sided.join(
+    pairs = a.join(
         b,
-        (sided.block == b.block2) & (F.col("doc_id") < F.col("doc_id_pair")),
+        (a.block == F.col("block2")) & (F.col("doc_id") < F.col("doc_id_pair")),
     )
     score = cosine_sim_col(F.col("pooled"), F.col("pooled_pair"))
-    return pairs.select(
+    # two projects (see coref_text_pairs): the cosine fold is evaluated
+    # once per pair, is_similar reads the materialized score column
+    scored = pairs.select(
         "block",
         "doc_id",
         "tok_start",
         "doc_id_pair",
         "tok_start_pair",
         score.alias("score"),
-        (score >= threshold).alias("is_similar"),
+    )
+    return scored.select(
+        "*", (F.col("score") >= threshold).alias("is_similar")
     )
 
 
