@@ -45,9 +45,10 @@ def main() -> None:
 
     def drop_persisted_blocks() -> None:
         try:
-            it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
-            while it.hasNext():
-                it.next().unpersist(False)
+            for r in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                r.unpersist(False)
         except Exception:
             pass
 

@@ -293,10 +293,25 @@ def _driver_side_components(spark, edge_rows) -> DataFrame:
     return spark.createDataFrame(rows, "node string, component string")
 
 
+def _sym_explode(edges: DataFrame) -> DataFrame:
+    """Both directions of every edge in ONE pass: explode([(s,d),(d,s)]).
+    A union of the frame with its swapped self evaluates the upstream
+    edge-producing lineage twice; this shape reads it once."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+
+
 def _symmetrize(edges: DataFrame) -> DataFrame:
     return (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        _sym_explode(edges.select("src", "dst"))
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
     )
@@ -376,10 +391,10 @@ def connected_components(
     so results are identical (asserted in tests/test_canonicalize.py).
     """
     und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        _sym_explode(edges.select("src", "dst"))
         # materialize once: the size probe AND the first star round would
         # otherwise re-run the full upstream lineage that produced the edges
+        # (and the single-pass explode halves that lineage vs a self-union)
         .localCheckpoint()
     )
     spark = edges.sparkSession

@@ -47,7 +47,17 @@ def ngram_contamination(
     BROADCAST (eval sets are thousands of docs; the corpus is the big
     side), so the corpus scan never shuffles on gram.
     """
-    grams = _distinct_grams(corpus, id_col, text_col, n, None).drop("block")
+    from ..plans.skew import ensure_parallelism
+
+    # fan the scan out and pin: the sizes aggregation and the hit join
+    # both read the corpus gram table
+    grams = (
+        _distinct_grams(
+            ensure_parallelism(corpus), id_col, text_col, n, None
+        )
+        .drop("block")
+        .localCheckpoint(eager=False)
+    )
     bgrams = (
         _distinct_grams(benchmark, id_col, text_col, n, None)
         .select("gram")
@@ -83,12 +93,24 @@ def boilerplate_fraction(
     navigation chrome, generated scaffolding score high).
 
     One map-side-combinable document-frequency aggregation; the frequent
-    set is boilerplate-sized (small by definition), so it broadcasts back
-    into the gram stream — the corpus side never shuffles twice.
-    Returns (doc_id, n_grams, n_boiler_grams, boiler_frac).
+    set joins back into the gram stream WITHOUT a forced broadcast: with
+    an absolute `min_docs` on a billion-doc corpus the "frequent" set is
+    most of natural language, not boilerplate-sized, and a forced
+    broadcast of it is the scale-killer — the join is keyed on gram and
+    AQE picks a broadcast at runtime only when the aggregated side is
+    actually small. Returns (doc_id, n_grams, n_boiler_grams, boiler_frac).
     """
-    grams = _distinct_grams(documents, id_col, text_col, n, None).drop(
-        "block"
+    from ..plans.skew import ensure_parallelism
+
+    # fan the scan out and pin the gram table: the frequency aggregation,
+    # the per-doc sizes, and the hit join all read it (3 explode passes
+    # otherwise)
+    grams = (
+        _distinct_grams(
+            ensure_parallelism(documents), id_col, text_col, n, None
+        )
+        .drop("block")
+        .localCheckpoint(eager=False)
     )
     frequent = (
         grams.groupBy("gram")
@@ -98,7 +120,7 @@ def boilerplate_fraction(
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
-        grams.join(F.broadcast(frequent), "gram")
+        grams.join(frequent, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_boiler"))
     )
@@ -123,24 +145,34 @@ def tfidf_top_terms(
     ties broken by term so ranking is total.
 
     Returns (doc_id, rank, term, tf, score). Two keyed aggregations (term
-    counts per doc, document frequency per term) + one join that
-    broadcasts at corpus scale (df table is vocabulary-sized) + one
-    per-doc top-k window. N is counted once on the driver — a single
-    scalar, the one intentionally-bounded action here.
+    counts per doc, document frequency per term) + one gram-keyed join +
+    one per-doc top-k window. The document-frequency table is NOT force-
+    broadcast: a web corpus's distinct-term vocabulary (typos, ids,
+    hashes) is billions of rows, so the join is keyed and AQE upgrades it
+    to a broadcast at runtime only when the aggregate is actually small.
+    N is counted once on the driver — a single scalar, the one
+    intentionally-bounded action here.
     """
-    toks = documents.select(
+    from ..plans.skew import ensure_parallelism
+
+    toks = ensure_parallelism(documents).select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias(
             "term"
         ),
     ).where(F.length("term") > 0)
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # pin: the df aggregation and the scored join both read tf
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_tbl = tf.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
     n_docs = documents.select(F.col(id_col)).distinct().count()
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
-    scored = tf.join(F.broadcast(df_tbl), "term").select(
+    scored = tf.join(df_tbl, "term").select(
         "doc_id",
         "term",
         "tf",

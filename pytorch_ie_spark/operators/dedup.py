@@ -60,14 +60,21 @@ def _minhash_band_stack(
 
     # materialize the shingle table: Catalyst's CollapseProject treats
     # transform() lambdas as cheap and would otherwise inline the shingle
-    # expression into every salt's digest pass (multiplicative recompute)
+    # expression into every salt's digest pass (multiplicative recompute).
+    # The normalize regex is projected to a plain column FIRST: fed as an
+    # expression, char_shingles_col references it per shingle ELEMENT and
+    # the regex would run ~len(text) times per document (measured 3.6x on
+    # the whole base pass); a multiply-referenced non-cheap alias is kept
+    # out of line by CollapseProject, so this stays one regex per row.
     base = (
         ensure_parallelism(df)
         .select(
             F.col(id_col).cast("long").alias("doc_id"),
-            char_shingles_col(
-                normalize_text(F.col(text_col)), shingle_k
-            ).alias("shingles"),
+            normalize_text(F.col(text_col)).alias("_norm"),
+        )
+        .select(
+            "doc_id",
+            char_shingles_col(F.col("_norm"), shingle_k).alias("shingles"),
         )
         .localCheckpoint(eager=False)
     )
@@ -171,31 +178,45 @@ def minhash_lsh_pairs(
         )
     a = stacked.select("band_key", F.col("doc_id").alias("src_id"))
     b_ = stacked.select("band_key", F.col("doc_id").alias("dst_id"))
+    # explicit keyed repartition ahead of the dedup aggregation: the pair
+    # stream explodes out of a small input, so AQE (sizing from the INPUT
+    # bytes) would coalesce the post-join stages to a few tasks; the
+    # user-specified partition count is never coalesced, the dedup agg and
+    # every verify stage below inherit it
+    n_out = df.sparkSession.sparkContext.defaultParallelism * 4
     pairs = (
         a.join(b_, "band_key")
         .where(F.col("src_id") < F.col("dst_id"))
         .select("src_id", "dst_id")
+        .repartition(n_out, "src_id", "dst_id")
         .dropDuplicates(["src_id", "dst_id"])
     )
-    # signature pre-filter: 16 short strings per side instead of shingle arrays
-    src_sig = sig.select(
-        F.col("doc_id").alias("src_id"),
-        *[F.col(m).alias(f"s_{m}") for m in mh_names],
-    )
-    dst_sig = sig.select(
-        F.col("doc_id").alias("dst_id"),
-        *[F.col(m).alias(f"d_{m}") for m in mh_names],
-    )
-    with_sigs = pairs.join(src_sig, "src_id").join(dst_sig, "dst_id")
-    matches = None
-    for m in mh_names:
-        term = F.when(F.col(f"s_{m}") == F.col(f"d_{m}"), 1).otherwise(0)
-        matches = term if matches is None else matches + term
-    prefiltered = (
-        with_sigs.withColumn("_sig_matches", matches)
-        .where(F.col("_sig_matches") >= min_sig_matches)
-        .select("src_id", "dst_id")
-    )
+    if min_sig_matches > band_size:
+        # signature pre-filter: 16 short strings per side instead of
+        # shingle arrays. Only built when it can actually drop anything: a
+        # band collision already implies band_size matching components, so
+        # for min_sig_matches <= band_size the filter is an algebraic no-op
+        # and the two signature joins would be pure per-pair overhead.
+        src_sig = sig.select(
+            F.col("doc_id").alias("src_id"),
+            *[F.col(m).alias(f"s_{m}") for m in mh_names],
+        )
+        dst_sig = sig.select(
+            F.col("doc_id").alias("dst_id"),
+            *[F.col(m).alias(f"d_{m}") for m in mh_names],
+        )
+        with_sigs = pairs.join(src_sig, "src_id").join(dst_sig, "dst_id")
+        matches = None
+        for m in mh_names:
+            term = F.when(F.col(f"s_{m}") == F.col(f"d_{m}"), 1).otherwise(0)
+            matches = term if matches is None else matches + term
+        prefiltered = (
+            with_sigs.withColumn("_sig_matches", matches)
+            .where(F.col("_sig_matches") >= min_sig_matches)
+            .select("src_id", "dst_id")
+        )
+    else:
+        prefiltered = pairs
     src_sh = base.select(
         F.col("doc_id").alias("src_id"), F.col("shingles").alias("src_sh")
     )
@@ -360,12 +381,18 @@ def simhash_near_dup_pairs(
             .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
+    # explicit keyed repartition of the probe side: the bucket self-join
+    # fans out quadratically per bucket from a tiny input, so AQE (sizing
+    # from input bytes) would coalesce the pair-generating stage to a
+    # couple of tasks; a user partition count is never coalesced and the
+    # join + downstream verify/dedup inherit it
+    n_out = df.sparkSession.sparkContext.defaultParallelism * 4
     a = bands.select(
         "band_idx",
         "band_val",
         F.col("doc_id").alias("src_id"),
         F.col("simhash").alias("src_sim"),
-    )
+    ).repartition(n_out, "band_idx", "band_val")
     b_ = bands.select(
         "band_idx",
         "band_val",
@@ -440,6 +467,10 @@ def cross_corpus_near_dups(
             )
 
         nstack, istack = cap(nstack), cap(istack)
+    # explicit keyed repartition before the dedup aggregation (same
+    # reasoning as minhash_lsh_pairs: the bucket join fans out of a tiny
+    # input, AQE would coalesce the pair stages to a few tasks)
+    n_out = new_docs.sparkSession.sparkContext.defaultParallelism * 4
     pairs = (
         nstack.select("band_key", F.col("doc_id").alias("new_id"))
         .join(
@@ -447,6 +478,7 @@ def cross_corpus_near_dups(
             "band_key",
         )
         .select("new_id", "index_id")
+        .repartition(n_out, "new_id", "index_id")
         .dropDuplicates(["new_id", "index_id"])
     )
     new_sh = nb.select(
@@ -532,15 +564,38 @@ def ngram_jaccard_pairs(
     a lower bound for pairs whose overlap is mostly boilerplate — the
     standard trade in web-scale near-dup mining. None = exact (default:
     correctness-gated queries stay bit-exact vs the SQL oracle)."""
-    grams = _distinct_grams(df, id_col, text_col, n, block_col)
+    from ..plans.skew import ensure_parallelism
+
+    # fan the scan out (a single-row-group parquet file plans as 1-2 tasks)
+    # and pin the gram table: sizes, the optional frequency cap, and BOTH
+    # pair-join sides read it — unpinned, the normalize/split/explode
+    # subtree runs once per consumer
+    grams = _distinct_grams(
+        ensure_parallelism(df), id_col, text_col, n, block_col
+    ).localCheckpoint(eager=False)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     if max_gram_freq is not None:
         freqs = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_gf"))
         grams = grams.join(
             freqs.where(F.col("_gf") <= max_gram_freq), "gram"
         ).drop("_gf")
-    a = grams.select(F.col("doc_id").alias("src_id"), "block", "gram")
-    b = grams.select(F.col("doc_id").alias("dst_id"), F.col("block").alias("block2"), F.col("gram").alias("gram2"))
+    # the inverted-index join fans out quadratically per posting list, so
+    # probe-side tasks must stay bounded regardless of how small the INPUT
+    # shuffle looks to AQE: a user-specified keyed repartition is never
+    # coalesced, and the join reuses its partitioning (one exchange)
+    n_out = df.sparkSession.sparkContext.defaultParallelism * 4
+    a = grams.select(
+        F.col("doc_id").alias("src_id"), "block", "gram"
+    ).repartition(n_out, "gram", "block")
+    # shuffled-hash, not broadcast: the gram table is corpus-sized (every
+    # distinct n-gram x doc), so a broadcast build is a serial bottleneck
+    # locally and impossible at 100 TB; the per-partition hash build is
+    # parallel and the join reuses a's explicit partitioning
+    b = grams.select(
+        F.col("doc_id").alias("dst_id"),
+        F.col("block").alias("block2"),
+        F.col("gram").alias("gram2"),
+    ).hint("shuffle_hash")
     shared = (
         a.join(b, (a.gram == b.gram2) & (a.block == b.block2) & (a.src_id < b.dst_id))
         .groupBy("src_id", "dst_id")

@@ -133,9 +133,16 @@ def extract_triples_fused(
                     out["content_sha256"].append(sha)
             yield pd.DataFrame(out)
 
-    return documents.select("doc_id", "text", "content_sha256").mapInPandas(
-        process, schema=TRIPLE_ROWS_SCHEMA
-    )
+    from ..plans.skew import ensure_parallelism
+
+    # project to the three consumed columns BEFORE the opaque Python stage
+    # (mapInPandas defeats column pruning), and fan the scan out: a small
+    # corpus parquet plans as 1-2 splits, which would run the whole
+    # NER+RE Python stage on 1-2 workers; on a real cluster the scan
+    # already yields thousands of partitions and this is a no-op
+    return ensure_parallelism(
+        documents.select("doc_id", "text", "content_sha256")
+    ).mapInPandas(process, schema=TRIPLE_ROWS_SCHEMA)
 
 
 def fused_triples(raw: DataFrame) -> DataFrame:

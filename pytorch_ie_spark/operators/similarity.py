@@ -334,12 +334,19 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Cosine near-dup pairs within a blocking column (label / LSH bucket)."""
+    # pin (both join sides read the casted/blocked frame once) and spread
+    # the probe side: the blocked self-join fans out quadratically per
+    # block, so probe tasks must stay bounded regardless of the tiny input
+    # AQE sizes from (a user-specified repartition is never coalesced)
     base = embeddings.select(
         F.col(id_col).cast("long").alias("nid"),
         F.col(block_col).cast("string").alias("block"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    )
-    a = base.select("block", F.col("nid").alias("src_id"), F.col("vec").alias("src_v"))
+    ).localCheckpoint(eager=False)
+    n_out = embeddings.sparkSession.sparkContext.defaultParallelism * 4
+    a = base.select(
+        "block", F.col("nid").alias("src_id"), F.col("vec").alias("src_v")
+    ).repartition(n_out, "block")
     b = base.select(F.col("block").alias("block2"), F.col("nid").alias("dst_id"), F.col("vec").alias("dst_v"))
     pairs = a.join(b, (a.block == b.block2) & (F.col("src_id") < F.col("dst_id")))
     cos = _dot(F.col("src_v"), F.col("dst_v")) / (_norm(F.col("src_v")) * _norm(F.col("dst_v")))

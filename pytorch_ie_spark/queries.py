@@ -571,9 +571,15 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lockstep with the oracle's WHERE length(normalized) >= 5 (the
         # operator's [text] fallback for sub-shingle docs has no SQL twin)
         .where(F.length(normalize_text(F.col("text"))) >= 5)
+        # normalize into a plain column BEFORE shingling: inlined, the
+        # regex would re-run per shingle element (see _minhash_band_stack)
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            char_shingles_col(normalize_text(F.col("text")), 5).alias("sh"),
+            normalize_text(F.col("text")).alias("_norm"),
+        )
+        .select(
+            "doc_id",
+            char_shingles_col(F.col("_norm"), 5).alias("sh"),
         )
         # single-pass signature (aggregate fold + inline): no pin needed,
         # the md5 pass appears exactly once in the plan
@@ -1966,7 +1972,14 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = fps.join(
         freq.where(F.col("_pf") <= WINNOW_MAX_POSTING), "fingerprint"
     ).drop("_pf")
-    a = kept.select("fingerprint", F.col("doc_id").alias("src_id"))
+    # spread the probe side of the posting-list self-join: it fans out
+    # quadratically per fingerprint out of a tiny input, so AQE would
+    # coalesce the pair stage to a few tasks (user repartition N is never
+    # coalesced; the join and shared-count agg inherit it)
+    n_out = spark.sparkContext.defaultParallelism * 4
+    a = kept.select("fingerprint", F.col("doc_id").alias("src_id")).repartition(
+        n_out, "fingerprint"
+    )
     b = kept.select("fingerprint", F.col("doc_id").alias("dst_id"))
     shared = (
         a.join(b, "fingerprint")
@@ -4552,26 +4565,68 @@ def q_kg_pooler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .plans.skew import ensure_parallelism
 
-    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
+    from .operators.re_encoding import token_mentions
+
+    # Pool per MENTION, pair afterwards (guide-§8 shape: decide/compute on
+    # the small per-mention table, attach to the quadratic pair stream as
+    # short strings): the previous per-PAIR pooling evaluated every fold on
+    # ~3.5x more rows and shipped each document's whole vecs array into the
+    # pair join. Equivalences: start_concat = concat_ws('|', at(h), at(t))
+    # is byte-identical to pool_at_index_col(v, h, t); head pooling depends
+    # only on (doc, head, seq_len).
+    docs0 = ensure_parallelism(read_table(spark, sf_dir, "documents"))
+    vdocs = docs0.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         token_state_vecs(F.split("text", " ")).alias("vecs"),
+        F.size(F.split("text", " ")).cast("long").alias("_n"),
+    )
+    v = F.col("vecs")
+    idx = F.col("tok_idx")
+    mlen = F.least(F.lit(2).cast("long"), F.col("_n") - idx)
+    m = (
+        token_mentions(docs0, list(GAZETTEER))
+        .select("doc_id", "tok_idx")
+        .join(vdocs, "doc_id")
+        .select(
+            "doc_id",
+            "tok_idx",
+            pool_cls_col(v).alias("_cls"),
+            pool_at_index_col(v, idx).alias("_at"),
+            pool_span_max_col(v, idx, mlen).alias("_max"),
+            pool_span_mean_col(v, idx, mlen).alias("_mean"),
+        )
+        .localCheckpoint(eager=False)
     )
     pairs = _token_pairs_df(spark, sf_dir).where(
         F.col("tok_distance") <= MARKERS_MAX_DIST
     )
-    j = pairs.join(docs, "doc_id")
-    hs = F.col("head_tok_start")
-    ts = F.col("tail_tok_start")
-    head_len = F.least(F.lit(2).cast("long"), F.col("seq_len") - hs)
-    v = F.col("vecs")
-    return j.select(
+    h = m.select(
         "doc_id",
-        hs.alias("head_tok_start"),
-        ts.alias("tail_tok_start"),
-        pool_cls_col(v).alias("cls_state"),
-        pool_at_index_col(v, hs, ts).alias("start_concat"),
-        pool_span_max_col(v, hs, head_len).alias("head_max"),
-        pool_span_mean_col(v, hs, head_len).alias("head_mean"),
+        F.col("tok_idx").alias("head_tok_start"),
+        F.col("_cls").alias("cls_state"),
+        F.col("_at").alias("_h_at"),
+        F.col("_max").alias("head_max"),
+        F.col("_mean").alias("head_mean"),
+    )
+    t = m.select(
+        "doc_id",
+        F.col("tok_idx").alias("tail_tok_start"),
+        F.col("_at").alias("_t_at"),
+    )
+    return (
+        pairs.join(h, ["doc_id", "head_tok_start"])
+        .join(t, ["doc_id", "tail_tok_start"])
+        .select(
+            "doc_id",
+            "head_tok_start",
+            "tail_tok_start",
+            "cls_state",
+            F.concat_ws("|", F.col("_h_at"), F.col("_t_at")).alias(
+                "start_concat"
+            ),
+            "head_max",
+            "head_mean",
+        )
     )
 
 
