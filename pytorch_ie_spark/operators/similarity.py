@@ -50,15 +50,31 @@ def brute_force_topk(
     Ties broken by neighbor_id; ranks are what downstream consumers need and
     are float-precision-robust (scores stay internal). Vectors are cast to
     double before arithmetic so results match a float64 oracle."""
-    base = embeddings.select(
-        F.col(id_col).cast("long").alias("nid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    from ..plans.skew import ensure_parallelism
+
+    # fan the scan out (a small embeddings parquet plans as 1-2 splits and
+    # would run every per-row fold on 1-2 cores), pin the casted frame
+    # (queries + candidate side both read it), and compute each vector's
+    # norm ONCE per row instead of once per (query, candidate) pair — the
+    # same fold over the same doubles, so cosines are bit-identical
+    base = (
+        ensure_parallelism(embeddings)
+        .select(
+            F.col(id_col).cast("long").alias("nid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "vec"
+            ),
+        )
+        .withColumn("nrm", _norm(F.col("vec")))
+        .localCheckpoint(eager=False)
     )
     queries = base.where(F.col("nid").isin([int(q) for q in query_ids])).select(
-        F.col("nid").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("nid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qn"),
     )
     joined = base.join(F.broadcast(queries), F.col("nid") != F.col("query_id"))
-    cos = (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias("cos")
+    cos = (_dot(F.col("qvec"), F.col("vec")) / (F.col("qn") * F.col("nrm"))).alias("cos")
     scored = joined.select("query_id", F.col("nid").alias("neighbor_id"), cos)
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -217,11 +233,25 @@ def lsh_bucketed_ann(
     )
 
 
-def _cos_to_literal(vec_col, cvec: list[float]):
+def _cos_to_literal(vec_col, cvec: list[float], vec_norm=None):
     """Cosine of a vector column against a centroid embedded as a literal
-    array — same fold order as the in-table cosine so engines agree."""
+    array — same fold order as the in-table cosine so engines agree.
+
+    The centroid's norm is folded in Python at plan-build time with the
+    same left-fold order as the HOF fold over the same IEEE doubles, so
+    the literal is bit-identical while the per-row plan drops a 64-element
+    fold per centroid. `vec_norm` optionally supplies a precomputed
+    per-row norm column (again the same fold, computed once per row
+    rather than once per centroid)."""
+    import math
+
     arr = F.array(*[F.lit(float(x)) for x in cvec])
-    return _dot(vec_col, arr) / (_norm(vec_col) * _norm(arr))
+    acc = 0.0
+    for x in cvec:
+        acc += float(x) * float(x)
+    cnorm = F.lit(math.sqrt(acc))
+    vn = vec_norm if vec_norm is not None else _norm(vec_col)
+    return _dot(vec_col, arr) / (vn * cnorm)
 
 
 def ivf_assign_broadcast(
@@ -274,20 +304,33 @@ def ivf_topk(
          on centroid_id; at cluster scale the lists are the partition key,
          so this is partition pruning, never a cross join).
     Ties broken by centroid/neighbor id; ranks returned, scores internal."""
-    base = embeddings.select(
-        F.col(id_col).cast("long").alias("nid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    from ..plans.skew import ensure_parallelism
+
+    # fan the scan out, compute each vector's norm once per row (shared by
+    # all num_centroids assignment cosines AND the candidate scoring), and
+    # pin the assigned table (queries + the probe join both read it)
+    base = (
+        ensure_parallelism(embeddings)
+        .select(
+            F.col(id_col).cast("long").alias("nid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "vec"
+            ),
+        )
+        .withColumn("nrm", _norm(F.col("vec")))
     )
     cents = sorted(
         (r["nid"], r["vec"])
         for r in base.where(F.col("nid") < num_centroids).collect()
     )
     # struct(cos, -cid): array_max/array_sort order by cos, ties -> min cid
-    def scored_cents(vcol):
+    def scored_cents(vcol, norm_col):
         return F.array(
             *[
                 F.struct(
-                    _cos_to_literal(vcol, cvec).alias("cos"),
+                    _cos_to_literal(vcol, cvec, vec_norm=norm_col).alias(
+                        "cos"
+                    ),
                     F.lit(-cid).cast("long").alias("negcid"),
                 )
                 for cid, cvec in cents
@@ -295,25 +338,33 @@ def ivf_topk(
         )
 
     assigned = base.withColumn(
-        "centroid_id", -F.array_max(scored_cents(F.col("vec")))["negcid"]
-    )
+        "centroid_id",
+        -F.array_max(scored_cents(F.col("vec"), F.col("nrm")))["negcid"],
+    ).localCheckpoint(eager=False)
     queries = assigned.where(
         F.col("nid").isin([int(q) for q in query_ids])
-    ).select(F.col("nid").alias("query_id"), F.col("vec").alias("qvec"))
+    ).select(
+        F.col("nid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qn"),
+    )
     probe_arr = F.slice(
-        F.reverse(F.array_sort(scored_cents(F.col("qvec")))), 1, nprobe
+        F.reverse(F.array_sort(scored_cents(F.col("qvec"), F.col("qn")))),
+        1,
+        nprobe,
     )
     probes = queries.select(
-        "query_id", "qvec", F.explode(probe_arr).alias("p")
-    ).select("query_id", "qvec", (-F.col("p.negcid")).alias("probe_cid"))
+        "query_id", "qvec", "qn", F.explode(probe_arr).alias("p")
+    ).select(
+        "query_id", "qvec", "qn", (-F.col("p.negcid")).alias("probe_cid")
+    )
     cands = F.broadcast(probes).join(
         assigned,
         (F.col("probe_cid") == F.col("centroid_id"))
         & (F.col("nid") != F.col("query_id")),
     )
     cos = (
-        _dot(F.col("qvec"), F.col("vec"))
-        / (_norm(F.col("qvec")) * _norm(F.col("vec")))
+        _dot(F.col("qvec"), F.col("vec")) / (F.col("qn") * F.col("nrm"))
     ).alias("cos")
     scored = cands.select(
         "query_id", F.col("nid").alias("neighbor_id"), "centroid_id", cos
@@ -342,14 +393,28 @@ def embedding_near_duplicates(
         F.col(id_col).cast("long").alias("nid"),
         F.col(block_col).cast("string").alias("block"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        # per-vector norm computed ONCE per side row, not per pair — the
+        # same sqrt/fold of the same doubles, so the cosine stays
+        # bit-identical while the pair stage only pays the dot product
+        _norm(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("nrm"),
     ).localCheckpoint(eager=False)
     n_out = embeddings.sparkSession.sparkContext.defaultParallelism * 4
     a = base.select(
-        "block", F.col("nid").alias("src_id"), F.col("vec").alias("src_v")
+        "block",
+        F.col("nid").alias("src_id"),
+        F.col("vec").alias("src_v"),
+        F.col("nrm").alias("src_n"),
     ).repartition(n_out, "block")
-    b = base.select(F.col("block").alias("block2"), F.col("nid").alias("dst_id"), F.col("vec").alias("dst_v"))
+    b = base.select(
+        F.col("block").alias("block2"),
+        F.col("nid").alias("dst_id"),
+        F.col("vec").alias("dst_v"),
+        F.col("nrm").alias("dst_n"),
+    )
     pairs = a.join(b, (a.block == b.block2) & (F.col("src_id") < F.col("dst_id")))
-    cos = _dot(F.col("src_v"), F.col("dst_v")) / (_norm(F.col("src_v")) * _norm(F.col("dst_v")))
+    cos = _dot(F.col("src_v"), F.col("dst_v")) / (F.col("src_n") * F.col("dst_n"))
     return (
         pairs.select("block", "src_id", "dst_id", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)

@@ -1002,7 +1002,10 @@ SELECT query_id, rnk::BIGINT AS rank, neighbor_id FROM ranked WHERE rnk <= 5
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    from .plans.skew import ensure_parallelism
+
+    # fan the scan out: 8 hyperplane folds per row ride the scan stage
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
     base = emb.select(
         F.col("vec_id").cast("long").alias("nid"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
@@ -1123,7 +1126,10 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN a signature bucket. Blocking on a low-cardinality column (label)
     is O(B^2) per block at corpus scale; the LSH bucket keeps blocks small
     and similarity-homogeneous, which is the 100 TB shape."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    from .plans.skew import ensure_parallelism
+
+    # fan the scan out: the 8-plane signature folds ride the scan stage
+    emb = ensure_parallelism(read_table(spark, sf_dir, "embeddings"))
     base = emb.select(
         F.col("vec_id").cast("long").alias("nid"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
@@ -1215,7 +1221,10 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams, and the fraction of bigram occurrences belonging to any
     repeated bigram. One explode + two keyed aggregations — map-side
     combinable, no all-pairs anything."""
-    docs = read_table(spark, sf_dir, "documents").select(
+    from .plans.skew import ensure_parallelism
+
+    # fan the scan out (bigram explode + partial agg ride the scan stage)
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split("text", " ").alias("toks"),
     ).where(F.size("toks") >= 2)
@@ -1770,7 +1779,11 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy): per document, H = -Σ p_c·ln p_c over its character
     distribution, DECIMAL-quantized terms so the sum is exact. One
     explode + two keyed aggregations, map-side combinable."""
-    docs = read_table(spark, sf_dir, "documents")
+    from .plans.skew import ensure_parallelism
+
+    # fan the scan out: the per-char explode + partial aggregation runs in
+    # the scan stage, and a 1-2 split parquet would bound it to 2 cores
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     chars = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split(normalize_text(F.col("text")), "")).alias("c"),
@@ -1818,13 +1831,18 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     values flag out-of-distribution/noisy documents. One frequency
     aggregate (vocabulary-sized, broadcast back) + one per-doc mean with
     DECIMAL-quantized terms so the float sum is order-independent."""
-    docs = read_table(spark, sf_dir, "documents")
+    from .plans.skew import ensure_parallelism
+
+    # fan the scan out and pin the token stream: the frequency aggregate,
+    # the total count, and the scored join all read it (3 explode passes
+    # over a 2-split scan otherwise)
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
             "term"
         ),
-    ).where(F.length("term") > 0)
+    ).where(F.length("term") > 0).localCheckpoint(eager=False)
     freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
     total = toks.count()  # one scalar
     nll = F.round(
@@ -2037,7 +2055,11 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity measure): for n in 1..3, distinct grams / total gram
     occurrences over the whole corpus — one explode per n, two
     map-side-combinable aggregates each, unioned into a 3-row report."""
-    docs = read_table(spark, sf_dir, "documents").select(
+    from .plans.skew import ensure_parallelism
+
+    # fan the scan out: three explode+aggregate passes run in the scan
+    # stage, bounded to 2 cores by the 1-2 split parquet otherwise
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
         F.split(normalize_text(F.col("text")), " ").alias("toks")
     )
     def gram_fn(n):
@@ -4036,6 +4058,11 @@ def _token_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h.doc_id == t.doc_id2)
         & (F.col("head_tok_start") < F.col("tail_tok_start")),
     ).drop("doc_id2")
+    # explicit fan-out of the pair stream: the within-doc pair join
+    # multiplies a small input, so AQE would coalesce the downstream
+    # (per-pair marker/pooler/window work) to a couple of tasks;
+    # consumers' distance filters still push below the repartition
+    n_out = spark.sparkContext.defaultParallelism * 4
     return pairs.join(lens, "doc_id").withColumn(
         "tok_distance",
         token_distance_col(
@@ -4045,7 +4072,7 @@ def _token_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tail_tok_end"),
             "inner",
         ),
-    )
+    ).repartition(n_out)
 
 
 def q_kg_re_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
