@@ -427,9 +427,17 @@ def canonicalize_mentions(
     surfaces) so the approximation is observable at runtime; the full audit
     table is `lsh_dropped_surface_buckets`.
     """
-    surfaces = mentions.select(
-        normalize_surface(F.col("surface")).alias("surface_norm")
-    ).dropDuplicates(["surface_norm"])
+    # pin the distinct-surface table: the band stack, the singleton join,
+    # and the final mention mapping all read it — unpinned, each action
+    # (bucket audit, CC edge materialization, the entity-map count) re-runs
+    # the full-mention dropDuplicates shuffle
+    surfaces = (
+        mentions.select(
+            normalize_surface(F.col("surface")).alias("surface_norm")
+        )
+        .dropDuplicates(["surface_norm"])
+        .localCheckpoint(eager=False)
+    )
     # ONE band stack shared between the audit aggregate and the candidate
     # self-join (the stack is localCheckpoint-pinned inside); the audit is
     # one tiny extra aggregate over already-materialized rows

@@ -240,30 +240,37 @@ def _hex4_to_int(hexcol):
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, simhash) — 16-bit simhash over whitespace tokens."""
-    toks = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("tokens"),
-    )
-    hashed = toks.select(
-        "doc_id",
-        F.transform(F.col("tokens"), lambda t: _hex4_to_int(F.md5(t))).alias("hs"),
-    )
-    # bit b contributes 2^b iff sum over tokens of (bit set ? 1 : -1) > 0
-    def bit_term(b: int):
-        bitsum = F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        return F.when(bitsum > 0, F.lit(2**b)).otherwise(F.lit(0))
+    """(doc_id, simhash) — 16-bit simhash over whitespace tokens.
 
-    bit_terms = [bit_term(b) for b in range(16)]
-    sim = bit_terms[0]
-    for t in bit_terms[1:]:
-        sim = sim + t
-    return hashed.select("doc_id", sim.cast("int").alias("simhash"))
+    Same explode + one-groupBy-pass shape as simhash60 (see its docstring
+    for the measurements): 16 plain SUM aggregates with map-side partial
+    aggregation in whole-stage codegen. The previous 16 per-row aggregate()
+    HOF folds evaluated interpreted, one pass per bit. Values are
+    identical — bit b of a document is sign(sum over its tokens of +/-1),
+    however the sum is grouped."""
+    from ..plans.skew import ensure_parallelism
+
+    ex = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("tok"),
+    ).select("doc_id", _hex4_to_int(F.md5("tok")).alias("h"))
+    sums = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(16)
+        ]
+    )
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.cast("int").alias("simhash"))
 
 
 def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -139,10 +139,13 @@ def extract_triples_fused(
     # (mapInPandas defeats column pruning), and fan the scan out: a small
     # corpus parquet plans as 1-2 splits, which would run the whole
     # NER+RE Python stage on 1-2 workers; on a real cluster the scan
-    # already yields thousands of partitions and this is a no-op
-    return ensure_parallelism(
-        documents.select("doc_id", "text", "content_sha256")
-    ).mapInPandas(process, schema=TRIPLE_ROWS_SCHEMA)
+    # already yields thousands of partitions and this is a no-op. A
+    # STREAMING source cannot be partition-probed (no .rdd on an unstarted
+    # stream) — micro-batch parallelism is the source's job there.
+    projected = documents.select("doc_id", "text", "content_sha256")
+    if not documents.isStreaming:
+        projected = ensure_parallelism(projected)
+    return projected.mapInPandas(process, schema=TRIPLE_ROWS_SCHEMA)
 
 
 def fused_triples(raw: DataFrame) -> DataFrame:

@@ -2057,11 +2057,12 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregates each, unioned into a 3-row report."""
     from .plans.skew import ensure_parallelism
 
-    # fan the scan out: three explode+aggregate passes run in the scan
-    # stage, bounded to 2 cores by the 1-2 split parquet otherwise
+    # fan the scan out and pin the tokenized frame: the three n-gram
+    # passes (n=1,2,3) each explode it, and unpinned each pass re-runs
+    # the normalize regex + split over the whole corpus
     docs = ensure_parallelism(read_table(spark, sf_dir, "documents")).select(
         F.split(normalize_text(F.col("text")), " ").alias("toks")
-    )
+    ).localCheckpoint(eager=False)
     def gram_fn(n):
         # a closure, NOT `lambda i, n=n`: a binary HOF lambda receives the
         # array INDEX as its second argument, silently shadowing n
