@@ -2828,7 +2828,10 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction (get_json_object) + bucketed aggregation —
     the metadata map of the document model is a JSON column at rest
     (SURVEY.md §1.4)."""
-    ev = read_table(spark, sf_dir, "events")
+    from .plans.skew import ensure_parallelism
+
+    # fan the scan out: one JSON parse per event rides the 1-2 split scan
+    ev = ensure_parallelism(read_table(spark, sf_dir, "events"))
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
         ev.select("event_type", k.alias("k"))
@@ -3565,7 +3568,10 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways a data pipeline needs it: whitespace tokens
     and BPE-ish regex tokens (word pieces + punctuation, the
     functions/tokenize.py TOKEN_RE class), per language."""
-    docs = read_table(spark, sf_dir, "documents")
+    from .plans.skew import ensure_parallelism
+
+    # fan the scan out: two regex passes per doc ride the scan stage
+    docs = ensure_parallelism(read_table(spark, sf_dir, "documents"))
     ws = F.size(F.split("text", " "))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
     return docs.groupBy("lang").agg(
@@ -3589,7 +3595,10 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: minute/hour/day buckets
     materialized in ONE pass (explode the resolution axis, then a single
     grouped aggregation — no per-resolution rescan of the fact table)."""
-    events = read_table(spark, sf_dir, "events")
+    from .plans.skew import ensure_parallelism
+
+    # fan the scan out (3x explode + partial agg ride the scan stage)
+    events = ensure_parallelism(read_table(spark, sf_dir, "events"))
     e = events.select(
         "ts",
         "event_type",
